@@ -1,0 +1,136 @@
+"""Vectorized 64-bit integer primitives (numpy 1.26-safe).
+
+These are the numpy counterparts of the bit-twiddling helpers the reference
+uses on the JVM (``DistinctCountUtil.java:266-274`` unsignedLongToDouble/pow2,
+``Long.numberOfLeadingZeros`` / ``Long.bitCount`` intrinsics). We target
+numpy 1.26 where ``np.bitwise_count`` does not exist and scalar/array
+promotion of uint64 is finicky, so every constant is pre-wrapped as uint64.
+
+Design rule for the whole sketchlib: *vectors* are ``np.uint64`` arrays and
+all bit math happens through the helpers here; *scalars* (solver, config
+math) use plain Python ints, which are arbitrary-precision and safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+ZERO = U64(0)
+ONE = U64(1)
+
+_M1 = U64(0x5555555555555555)
+_M2 = U64(0x3333333333333333)
+_M4 = U64(0x0F0F0F0F0F0F0F0F)
+_H01 = U64(0x0101010101010101)
+
+# splitmix64 constants (public domain PRNG finalizer; equivalent hash quality
+# to the murmur3 the reference benchmarks with, SketchConfig.java:343)
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_MUL1 = U64(0xBF58476D1CE4E5B9)
+_SM_MUL2 = U64(0x94D049BB133111EB)
+
+
+def as_u64(x) -> np.ndarray:
+    """View/convert *x* to a uint64 array without changing bits for int64."""
+    a = np.asarray(x)
+    if a.dtype == np.uint64:
+        return a
+    if a.dtype in (np.int64,):
+        return a.view(np.uint64)
+    return a.astype(np.uint64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element population count of a uint64 array (SWAR)."""
+    x = x - ((x >> ONE) & _M1)
+    x = (x & _M2) + ((x >> U64(2)) & _M2)
+    x = (x + (x >> U64(4))) & _M4
+    return (x * _H01) >> U64(56)
+
+
+def nlz64(x: np.ndarray) -> np.ndarray:
+    """Per-element number of leading zeros of a uint64 array.
+
+    Exact for all 2^64 inputs (no float tricks): smear the highest set bit
+    downward, then count the zero bits that remain above it.
+    """
+    x = x.copy()
+    x |= x >> ONE
+    x |= x >> U64(2)
+    x |= x >> U64(4)
+    x |= x >> U64(8)
+    x |= x >> U64(16)
+    x |= x >> U64(32)
+    return popcount64(~x)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform 64-bit hash of uint64 input."""
+    z = as_u64(x) + _SM_GAMMA
+    z = (z ^ (z >> U64(30))) * _SM_MUL1
+    z = (z ^ (z >> U64(27))) * _SM_MUL2
+    return z ^ (z >> U64(31))
+
+
+def splitmix64_stream(seed: int, n: int, offset: int = 0) -> np.ndarray:
+    """Deterministic stream of n 64-bit hashes: splitmix64(seed + i)."""
+    idx = np.arange(offset, offset + n, dtype=np.uint64)
+    return splitmix64(idx + U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def rshift_clamped(v: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """``v >>> s`` with Java's shiftRight(s>=64)->0 semantics.
+
+    Mirrors ``ExaLogLog.java:288-294`` (shiftRight). numpy's >> is undefined
+    for shifts >= 64, so clamp then mask.
+    """
+    s_c = np.minimum(s, U64(63)).astype(np.uint64)
+    out = v >> s_c
+    return np.where(s <= U64(63), out, ZERO)
+
+
+def lshift_clamped(v: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """``v << s`` returning 0 where s >= 64."""
+    s_c = np.minimum(s, U64(63)).astype(np.uint64)
+    out = v << s_c
+    return np.where(s <= U64(63), out, ZERO)
+
+
+def unsigned_to_double(x: int) -> float:
+    """Unsigned 64-bit value -> float, ≙ DistinctCountUtil.java:266-270."""
+    return float(x & 0xFFFFFFFFFFFFFFFF)
+
+
+def pow2(x: int) -> float:
+    """Exact power of two, ≙ DistinctCountUtil.java:272-274."""
+    import math
+
+    return math.ldexp(1.0, x)
+
+
+def pack_registers(regs: np.ndarray, width: int) -> bytes:
+    """Bit-pack *regs* (uint64, little-endian bit order) at `width` bits each.
+
+    Produces exactly ``((width << p) + 7) >> 3`` bytes for ``m = 2^p``
+    registers — the same state size as the reference's PackedArray-backed
+    ``getState()`` (``ExaLogLog.java:93,182-185``), preserving its at-rest /
+    on-shuffle space advantage.
+    """
+    m = len(regs)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((regs[:, None] >> shifts) & ONE).astype(np.uint8)
+    packed = np.packbits(bits.ravel(), bitorder="little")
+    want = ((width * m) + 7) >> 3
+    return packed[:want].tobytes()
+
+
+def unpack_registers(data: bytes, width: int, m: int) -> np.ndarray:
+    """Inverse of :func:`pack_registers`."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    bits = np.unpackbits(raw, count=width * m, bitorder="little")
+    weights = ONE << np.arange(width, dtype=np.uint64)
+    return (bits.reshape(m, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
