@@ -1,0 +1,124 @@
+"""Distributed sketch aggregation tests: partitioning invariance (the key
+distributed-correctness property — state equality no matter how rows are
+split), grouped aggregation, salted path, estimate accuracy vs exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exaloglog_paper_spark.ops import tokens as tok
+from exaloglog_paper_spark.ops.agg import (
+    ExaLogLogSpec,
+    HyperLogLogSpec,
+    hash64_values,
+    sketch_agg,
+    sketch_agg_salted,
+    token_array_values,
+    with_estimate,
+)
+from exaloglog_paper_spark.sketchlib.bitops import splitmix64
+from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLog
+
+N_ROWS = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return tok.token_table(spark, N_ROWS, seed=SEED, num_partitions=7).cache()
+
+
+@pytest.fixture(scope="module")
+def truth():
+    return tok.exact_ground_truth(N_ROWS, seed=SEED)
+
+
+def test_token_table_deterministic_under_partitioning(spark):
+    a = tok.token_table(spark, 100, num_partitions=1).orderBy("doc_id").collect()
+    b = tok.token_table(spark, 100, num_partitions=13).orderBy("doc_id").collect()
+    assert a == b
+    # n_tok invariant (FIXTURES.md F1) and pass-through bit-identity vs the
+    # local generator (the per-row invariant from BASELINE.json input_hint)
+    import numpy as np
+
+    local = tok.generate_rows(np.arange(100, dtype=np.uint64))
+    for row, (_, lrow) in zip(a, local.iterrows()):
+        assert row.n_tok == len(row.tokens) == lrow.n_tok
+        assert list(row.tokens) == list(lrow.tokens)
+        assert row.doc_id == lrow.doc_id and row.source == lrow.source
+
+
+def test_global_sketch_state_equals_local_build(spark, tdf, truth):
+    """Distributed build (7 partitions, tree merge) must produce the exact
+    register state of a single local build over the same values."""
+    spec = ExaLogLogSpec(2, 20, 8)
+    row = sketch_agg(tdf, spec, token_array_values("tokens"), input_cols=["tokens"]).collect()[0]
+    # local reference build
+    pdf = tok.generate_rows(np.arange(N_ROWS, dtype=np.uint64))
+    flat = np.concatenate(pdf["tokens"].to_list()).astype(np.int64)
+    local = ExaLogLog.create(2, 20, 8).add_hashes(splitmix64(flat.view(np.uint64)))
+    assert bytes(row.sketch) == local.serialize()
+    assert row.n_values == truth["total_tokens"]
+    est = spec.finalize(spec.deserialize(bytes(row.sketch)))
+    rse = spec.theoretical_rse()
+    assert abs(est / truth["distinct_tokens"] - 1) < 3 * rse
+
+
+def test_partitioning_invariance(spark):
+    """Same data, different partition counts -> byte-identical sketch."""
+    spec = ExaLogLogSpec(2, 20, 6)
+    states = []
+    for parts in [1, 3, 11]:
+        df = tok.token_table(spark, 150, num_partitions=parts)
+        row = sketch_agg(df, spec, token_array_values("tokens"), input_cols=["tokens"], fanin=4).collect()[0]
+        states.append(bytes(row.sketch))
+    assert states[0] == states[1] == states[2]
+
+
+def test_grouped_sketch_agg_per_source(spark, tdf, truth):
+    spec = ExaLogLogSpec(2, 20, 8)
+    out = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"])
+    rows = {r.source: r for r in with_estimate(out, spec).collect()}
+    assert set(rows) == set(truth["per_source"])
+    rse = spec.theoretical_rse()
+    for src, info in truth["per_source"].items():
+        assert rows[src].n_values == info["total_tokens"]
+        assert abs(rows[src].estimate / info["distinct_tokens"] - 1) < 4 * rse, src
+
+
+def test_salted_agg_matches_mapside_agg(spark, tdf):
+    """Salted shuffle path and map-side partial path give identical states."""
+    spec = ExaLogLogSpec(2, 20, 8)
+    a = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg(
+            tdf, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"]
+        ).collect()
+    }
+    b = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg_salted(
+            tdf, spec, token_array_values("tokens"), by=["source"],
+            salt_col="doc_id", n_salts=5, input_cols=["tokens"],
+        ).collect()
+    }
+    assert a == b
+
+
+def test_distinct_docs_via_jvm_xxhash(spark, tdf):
+    """doc_id distinct count with hashing kept JVM-side (xxhash64 in codegen)."""
+    spec = ExaLogLogSpec(2, 20, 10)
+    hashed = tdf.select(F.xxhash64("doc_id").alias("h"))
+    row = with_estimate(
+        sketch_agg(hashed, spec, hash64_values("h"), input_cols=["h"]), spec
+    ).collect()[0]
+    assert abs(row.estimate / N_ROWS - 1) < 3 * spec.theoretical_rse()
+
+
+def test_hll_spec_shares_kernel(spark, tdf, truth):
+    spec = HyperLogLogSpec(p=10)
+    assert (spec.cfg.t, spec.cfg.d) == (0, 0)
+    row = with_estimate(
+        sketch_agg(tdf, spec, token_array_values("tokens"), input_cols=["tokens"]), spec
+    ).collect()[0]
+    assert abs(row.estimate / truth["distinct_tokens"] - 1) < 3 * spec.theoretical_rse()
