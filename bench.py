@@ -1,0 +1,130 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+The token table (BASELINE.json input_hint shape) is materialized to parquet
+once per sf under /tmp so the timed path is a real parquet scan -> sketch
+build -> tree merge -> estimate, matching the production shape (Iceberg scan
+at 10^12 rows). Headline metric: tokens/sec of the global ExaLogLog build.
+
+Scaling evidence (north rule N -> 4N executors proxy): run
+``python scripts/scaling_bench.py`` which invokes this file at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from exaloglog_paper_spark.ops import tokens as tok  # noqa: E402
+from exaloglog_paper_spark.ops.agg import (  # noqa: E402
+    ExaLogLogSpec,
+    sketch_agg,
+    token_array_values,
+    with_estimate,
+)
+from exaloglog_paper_spark.ops.source import scan_sketch_agg  # noqa: E402
+from exaloglog_paper_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize_token_table(spark, sf_name: str):
+    path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        n = tok.ROWS_PER_SF.get(sf_name, 20_000)
+        tok.token_table(spark, n, num_partitions=max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    spark = get_spark(app_name=f"bench-{sf_name}", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tdf = materialize_token_table(spark, sf_name)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # warm up JVM + Arrow path on a tiny slice
+    spec_w = ExaLogLogSpec(2, 20, 6)
+    sketch_agg(tdf.limit(200), spec_w, token_array_values("tokens")).collect()
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    tokens_path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
+
+    def q_global_build():
+        row = with_estimate(
+            scan_sketch_agg(spark, tokens_path, spec, token_array_values("tokens")),
+            spec,
+        ).collect()[0]
+        extras["total_tokens"] = int(row.n_values)
+        extras["distinct_tokens_est"] = round(float(row.estimate), 1)
+        return row
+
+    timed("ell_global_build", q_global_build)
+    extras["tokens_per_sec"] = round(extras["total_tokens"] / timings["ell_global_build"], 1)
+
+    timed(
+        "ell_by_source",
+        lambda: scan_sketch_agg(
+            spark, tokens_path, spec, token_array_values("tokens"), by=["source"]
+        ).collect(),
+    )
+
+    timed(
+        "ell_global_build_jvm_bridge",
+        lambda: sketch_agg(tdf, spec, token_array_values("tokens")).collect(),
+    )
+
+    timed(
+        "spark_builtin_approx_count_distinct",
+        lambda: tdf.select(F.explode("tokens").alias("t"))
+        .agg(F.approx_count_distinct("t", 0.0113))
+        .collect(),
+    )
+
+    timed(
+        "exact_distinct_tokens",
+        lambda: tdf.select(F.explode("tokens").alias("t")).agg(F.count_distinct("t")).collect(),
+    )
+
+    timed(
+        "ntok_stats",
+        lambda: tdf.groupBy("source").agg(F.avg("n_tok"), F.expr("percentile(n_tok, 0.5)")).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_name,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,7 @@ def ell_distinct_words_per_source_bound(spark: SparkSession, sf_dir: str) -> Dat
     spec = ExaLogLogSpec(2, 20, 10)
     words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
     sk = with_estimate(
-        sketch_agg(words, spec, hash64_values("h"), by=["source"], input_cols=["h"]),
+        sketch_agg(words, spec, hash64_values("h"), by=["source"]),
         spec,
     )
     exact = exact_distinct_words_per_source(spark, sf_dir)
@@ -122,7 +122,7 @@ def hll_distinct_words_global_bound(spark: SparkSession, sf_dir: str) -> DataFra
     """HyperLogLog(p=12) global distinct-word estimate vs exact + bound."""
     spec = HyperLogLogSpec(p=12)
     words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
-    sk = with_estimate(sketch_agg(words, spec, hash64_values("h"), input_cols=["h"]), spec)
+    sk = with_estimate(sketch_agg(words, spec, hash64_values("h")), spec)
     bound = 5 * spec.theoretical_rse()
     exact = _words(spark, sf_dir).agg(F.count_distinct("word").alias("distinct_words"))
     return exact.crossJoin(F.broadcast(sk.select("estimate"))).select(
@@ -143,7 +143,7 @@ def ell_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     (doc_id, tokens, n_tok, source) table with ExaLogLog(2,20,10)."""
     spec = ExaLogLogSpec(2, 20, 10)
     df = tok.token_table_for_sf_dir(spark, sf_dir)
-    out = sketch_agg(df, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"])
+    out = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
     return with_estimate(out, spec).select(
         "source",
         F.col("n_values").alias("total_tokens"),

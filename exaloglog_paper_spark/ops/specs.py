@@ -1,0 +1,187 @@
+"""SketchSpec adapters for the companion sketches (count-min, KLL,
+t-digest, Bloom) so they run through the same sketch_agg partial/tree-merge
+pipeline as ExaLogLog, plus result-extraction helpers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from ..sketchlib.bitops import splitmix64
+from ..sketchlib.bloom import BloomConfig, BloomFilter
+from ..sketchlib.countmin import CountMin, CountMinConfig
+from ..sketchlib.kll import KLL, KLLConfig
+from ..sketchlib.tdigest import TDigest, TDigestConfig
+from .agg import Extractor, SketchSpec, sketch_agg
+
+
+class CountMinSpec(SketchSpec):
+    """Count-min + tracked heavy-hitter candidates.
+
+    State = (CountMin matrix, candidate id array). ``add`` consumes raw
+    *int64 item ids* (not hashes) so candidates stay identifiable; each
+    batch keeps its local top-``track`` ids (space-saving style pruning),
+    the merged sketch queries the merged candidate set — at most
+    ``track × partials`` driver-side rows, never the raw stream.
+    """
+
+    def __init__(self, width: int = 8192, depth: int = 5, track: int = 512):
+        self.cfg = CountMinConfig(width, depth)
+        self.track = track
+        self.name = f"countmin_w{width}_d{depth}"
+
+    def empty(self):
+        return (CountMin(self.cfg), np.empty(0, dtype=np.int64))
+
+    def add(self, state, values: np.ndarray):
+        cm, cand = state
+        ids = values.astype(np.int64, copy=False)
+        cm.add_hashes(splitmix64(ids.view(np.uint64)))
+        vals, counts = np.unique(ids, return_counts=True)
+        if len(vals) > self.track:
+            keep = np.argsort(-counts, kind="stable")[: self.track]
+            vals = vals[keep]
+        cand = np.unique(np.concatenate([cand, vals]))
+        if len(cand) > 8 * self.track:
+            # prune by current CMS estimate
+            est = cm.query(splitmix64(cand.view(np.uint64)))
+            cand = cand[np.argsort(-est, kind="stable")[: 4 * self.track]]
+        return (cm, cand)
+
+    def merge(self, a, b):
+        cm = a[0].merge_(b[0])
+        cand = np.unique(np.concatenate([a[1], b[1]]))
+        if len(cand) > 8 * self.track:
+            est = cm.query(splitmix64(cand.view(np.uint64)))
+            cand = cand[np.argsort(-est, kind="stable")[: 4 * self.track]]
+        return (cm, cand)
+
+    def serialize(self, state) -> bytes:
+        cm, cand = state
+        head = struct.pack("<i", len(cand))
+        return head + cand.astype("<i8").tobytes() + cm.serialize()
+
+    def deserialize(self, data: bytes):
+        (n,) = struct.unpack_from("<i", data, 0)
+        cand = np.frombuffer(data, dtype="<i8", count=n, offset=4).copy()
+        cm = CountMin.deserialize(self.cfg, data[4 + 8 * n :])
+        return (cm, cand)
+
+    def finalize(self, state) -> float:
+        return float(state[0].total)
+
+    def heavy_hitters(self, state, k: int) -> list[tuple[int, int]]:
+        cm, cand = state
+        if len(cand) == 0:
+            return []
+        est = cm.query(splitmix64(cand.view(np.uint64)))
+        order = np.lexsort((cand, -est))[:k]
+        return [(int(cand[i]), int(est[i])) for i in order]
+
+
+class KLLSpec(SketchSpec):
+    def __init__(self, k: int = 200):
+        self.cfg = KLLConfig(k)
+        self.name = f"kll_k{k}"
+
+    def empty(self):
+        return KLL(self.cfg)
+
+    def add(self, state: KLL, values: np.ndarray) -> KLL:
+        return state.add_values(values)
+
+    def merge(self, a: KLL, b: KLL) -> KLL:
+        return a.merge_(b)
+
+    def serialize(self, state: KLL) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> KLL:
+        return KLL.deserialize(self.cfg, data)
+
+    def finalize(self, state: KLL) -> float:
+        return float(state.quantile(0.5))
+
+
+class TDigestSpec(SketchSpec):
+    def __init__(self, delta: float = 200.0):
+        self.cfg = TDigestConfig(delta)
+        self.name = f"tdigest_d{int(delta)}"
+
+    def empty(self):
+        return TDigest(self.cfg)
+
+    def add(self, state: TDigest, values: np.ndarray) -> TDigest:
+        return state.add_values(values)
+
+    def merge(self, a: TDigest, b: TDigest) -> TDigest:
+        return a.merge_(b)
+
+    def serialize(self, state: TDigest) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> TDigest:
+        return TDigest.deserialize(self.cfg, data)
+
+    def finalize(self, state: TDigest) -> float:
+        return float(state.quantile(0.5))
+
+
+class BloomSpec(SketchSpec):
+    def __init__(self, num_bits: int = 1 << 22, num_hashes: int = 7):
+        self.cfg = BloomConfig(num_bits, num_hashes)
+        self.name = f"bloom_m{num_bits}_k{num_hashes}"
+
+    def empty(self):
+        return BloomFilter(self.cfg)
+
+    def add(self, state: BloomFilter, values: np.ndarray) -> BloomFilter:
+        return state.add_hashes(values)
+
+    def merge(self, a: BloomFilter, b: BloomFilter) -> BloomFilter:
+        return a.merge_(b)
+
+    def serialize(self, state: BloomFilter) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> BloomFilter:
+        return BloomFilter.deserialize(self.cfg, data)
+
+    def finalize(self, state: BloomFilter) -> float:
+        return float(state.n_added)
+
+
+class token_array_ids(Extractor):
+    """Flatten array<int32> to raw int64 ids (no hashing — for count-min
+    candidate tracking)."""
+
+    def __init__(self, col: str):
+        self.col = col
+        self.input_cols = (col,)
+
+    def __call__(self, batch):
+        arr = batch.column(self.col)
+        if hasattr(arr, "combine_chunks"):
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[offsets[0] : offsets[-1]]
+        return flat.astype(np.int64, copy=False), np.diff(offsets)
+
+
+def cms_heavy_hitters(
+    df: DataFrame, extractor: Extractor, k: int = 20,
+    width: int = 8192, depth: int = 5,
+) -> list[tuple[int, int]]:
+    """Distributed approximate top-k: count-min + candidate tracking.
+
+    Returns [(item_id, estimated_count)] sorted by estimate desc; estimates
+    overcount by at most e/width · N with probability 1 - e^-depth.
+    """
+    spec = CountMinSpec(width, depth, track=max(4 * k, 256))
+    row = sketch_agg(df, spec, extractor).collect()[0]
+    state = spec.deserialize(bytes(row.sketch))
+    return spec.heavy_hitters(state, k)

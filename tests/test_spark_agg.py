@@ -52,7 +52,7 @@ def test_global_sketch_state_equals_local_build(spark, tdf, truth):
     """Distributed build (7 partitions, tree merge) must produce the exact
     register state of a single local build over the same values."""
     spec = ExaLogLogSpec(2, 20, 8)
-    row = sketch_agg(tdf, spec, token_array_values("tokens"), input_cols=["tokens"]).collect()[0]
+    row = sketch_agg(tdf, spec, token_array_values("tokens")).collect()[0]
     # local reference build
     pdf = tok.generate_rows(np.arange(N_ROWS, dtype=np.uint64))
     flat = np.concatenate(pdf["tokens"].to_list()).astype(np.int64)
@@ -70,14 +70,14 @@ def test_partitioning_invariance(spark):
     states = []
     for parts in [1, 3, 11]:
         df = tok.token_table(spark, 150, num_partitions=parts)
-        row = sketch_agg(df, spec, token_array_values("tokens"), input_cols=["tokens"], fanin=4).collect()[0]
+        row = sketch_agg(df, spec, token_array_values("tokens"), fanin=4).collect()[0]
         states.append(bytes(row.sketch))
     assert states[0] == states[1] == states[2]
 
 
 def test_grouped_sketch_agg_per_source(spark, tdf, truth):
     spec = ExaLogLogSpec(2, 20, 8)
-    out = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"])
+    out = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"])
     rows = {r.source: r for r in with_estimate(out, spec).collect()}
     assert set(rows) == set(truth["per_source"])
     rse = spec.theoretical_rse()
@@ -92,14 +92,14 @@ def test_salted_agg_matches_mapside_agg(spark, tdf):
     a = {
         r.source: bytes(r.sketch)
         for r in sketch_agg(
-            tdf, spec, token_array_values("tokens"), by=["source"], input_cols=["tokens"]
+            tdf, spec, token_array_values("tokens"), by=["source"]
         ).collect()
     }
     b = {
         r.source: bytes(r.sketch)
         for r in sketch_agg_salted(
             tdf, spec, token_array_values("tokens"), by=["source"],
-            salt_col="doc_id", n_salts=5, input_cols=["tokens"],
+            salt_col="doc_id", n_salts=5,
         ).collect()
     }
     assert a == b
@@ -110,7 +110,7 @@ def test_distinct_docs_via_jvm_xxhash(spark, tdf):
     spec = ExaLogLogSpec(2, 20, 10)
     hashed = tdf.select(F.xxhash64("doc_id").alias("h"))
     row = with_estimate(
-        sketch_agg(hashed, spec, hash64_values("h"), input_cols=["h"]), spec
+        sketch_agg(hashed, spec, hash64_values("h")), spec
     ).collect()[0]
     assert abs(row.estimate / N_ROWS - 1) < 3 * spec.theoretical_rse()
 
@@ -119,6 +119,6 @@ def test_hll_spec_shares_kernel(spark, tdf, truth):
     spec = HyperLogLogSpec(p=10)
     assert (spec.cfg.t, spec.cfg.d) == (0, 0)
     row = with_estimate(
-        sketch_agg(tdf, spec, token_array_values("tokens"), input_cols=["tokens"]), spec
+        sketch_agg(tdf, spec, token_array_values("tokens")), spec
     ).collect()[0]
     assert abs(row.estimate / truth["distinct_tokens"] - 1) < 3 * spec.theoretical_rse()
