@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact duplicates via content digest (md5 — shared byte-for-byte with the
+  DuckDB oracle)
+- MinHash + LSH banding near-duplicate candidates. Minhash values are kept
+  as *hex-string* minima of md5(i || '|' || shingle) so every step is
+  bit-identical across engines (no float, no engine-specific 64-bit hash) —
+  the whole pipeline is therefore SQL-oracle-checkable.
+- SimHash (64-bit, xxhash64-based) with banded hamming candidate search —
+  Spark-native (xxhash64 has no DuckDB twin; covered by pytest instead).
+- embedding near-duplicates: exact cosine threshold pairs (see
+  ops/similarity.py for the ANN machinery).
+
+Scale notes: LSH candidate generation is a self-equi-join on (band, bucket)
+— Spark shuffles both sides on the bucket key and AQE handles bucket skew;
+no pairwise cross product ever materializes. Signatures are tiny (8 hex
+strings/doc), so the join input is ~100 bytes/doc at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+NUM_MINHASHES = 8
+BAND_SIZE = 2
+
+
+def with_content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("content_digest", F.md5(F.col(text_col)))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_digest, dup_count, keeper)."""
+    return (
+        with_content_digest(df, text_col)
+        .groupBy("content_digest")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keeper"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per identical content (keep-first dedup)."""
+    w = Window.partitionBy("content_digest").orderBy(F.col(id_col).asc())
+    return (
+        with_content_digest(df, text_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "content_digest")
+    )
+
+
+def minhash_signatures(
+    words: DataFrame,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """Per-doc minhash signature over the word set.
+
+    h_i(doc) = min over words of md5(i || '|' || word), kept as the 16-char
+    hex prefix (string minima are engine-portable). Output:
+    (id, mh_0..mh_{n-1}).
+    """
+    hashed = words.select(
+        id_col,
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+        F.col(word_col).alias("w"),
+    ).select(
+        id_col,
+        "i",
+        F.substring(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("w"))), 1, 16
+        ).alias("h"),
+    )
+    agg = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    pivoted = agg.groupBy(id_col).pivot("i", list(range(num_hashes))).agg(F.first("mh"))
+    return pivoted.select(
+        id_col, *[F.col(str(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing >= 1 LSH band bucket.
+
+    Bands of ``band_size`` minhashes are hashed to a bucket; a self-join on
+    (band, bucket) yields candidates with id_a < id_b (distinct).
+    """
+    num_bands = num_hashes // band_size
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    exploded = signatures.select(
+        id_col, F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    words: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs; keeps pairs >= threshold.
+
+    Joins the (distinct) word sets of both sides on the candidate list only
+    — never across the full corpus.
+    """
+    ws = words.select(F.col(id_col).alias("id"), F.col(word_col).alias("w")).distinct()
+    sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ws_b = ws.select(F.col("id").alias("__idb"), F.col("w").alias("__wb"))
+    inter = (
+        candidates.join(ws.withColumnRenamed("id", "id_a"), "id_a")
+        .join(ws_b, (F.col("id_b") == F.col("__idb")) & (F.col("w") == F.col("__wb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Spark-native; no SQL oracle — xxhash64 has no DuckDB equivalent)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(words: DataFrame, id_col: str = "doc_id", word_col: str = "word") -> DataFrame:
+    """64-bit SimHash per document from xxhash64(word) sign sums.
+
+    Expressed entirely in JVM expressions (no Python): for each bit b,
+    sum(±1) over words, then reassemble the sign vector into a long.
+    """
+    h = words.select(id_col, F.xxhash64(word_col).alias("h"))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
+        piece = F.shiftleft(term, b)
+        sim = piece if sim is None else sim.bitwiseXOR(piece)
+    return bit_sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-near pairs via 4x16-bit band blocking (any pair within
+    hamming distance <= 3 shares at least one exact 16-bit band)."""
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+        )
+        for i in range(4)
+    ]
+    ex = signatures.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    return (
+        cand.withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -134,6 +134,91 @@ def hll_distinct_words_global_bound(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) dedup accounting per source: docs, unique contents,
+    duplicate docs that keep-first dedup would remove."""
+    from .dedup import with_content_digest
+
+    d = with_content_digest(_docs(spark, sf_dir))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("content_digest").alias("unique_contents"),
+        (F.count(F.lit(1)) - F.count_distinct("content_digest")).alias("removed_by_dedup"),
+    )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)/LSH(4 bands x 2) near-duplicate candidate pairs over the
+    word sets (hex-string minhashes — bit-identical to the SQL oracle)."""
+    from .dedup import lsh_candidate_pairs, minhash_signatures
+
+    words = _words(spark, sf_dir)
+    sigs = minhash_signatures(words)
+    return lsh_candidate_pairs(sigs)
+
+
+def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming <= 3 via 16-bit banding);
+    Spark-native xxhash64 — validated by pytest, rows-only for the driver."""
+    from .dedup import simhash_near_pairs, simhash_signatures
+
+    return simhash_near_pairs(simhash_signatures(_words(spark, sf_dir)))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for query vectors vec_id<3."""
+    from .similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return cosine_topk(emb, queries, k=5)
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated text-quality features per source (exact; oracle-checked)."""
+    from .textstats import with_text_features
+
+    feats = with_text_features(_docs(spark, sf_dir))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+        F.round(F.avg("avg_word_len"), 6).alias("avg_word_len"),
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+    )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the metadata lang column (counts)."""
+    from .textstats import predicted_lang
+
+    return (
+        predicted_lang(_docs(spark, sf_dir))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/duplication-robust content fingerprints: distinct-word-set md5
+    groups with >1 doc (near-exact dedup beyond byte identity)."""
+    from .textstats import doc_fingerprint
+
+    fp = doc_fingerprint(_docs(spark, sf_dir))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # token-table queries (synthetic input_hint table; rows-only driver check)
 # ---------------------------------------------------------------------------
 

@@ -41,12 +41,14 @@ def list_row_group_splits(path: str) -> list[tuple[str, int]]:
 
 
 def splits_df(spark: SparkSession, path: str, parallelism: int | None = None) -> DataFrame:
-    """One row per row-group split, spread across the cluster."""
+    """One row per row-group split, spread deterministically (round-robin
+    slicing, no shuffle) so every task gets ≥1 split when possible."""
     splits = list_row_group_splits(path)
     if not splits:
         raise FileNotFoundError(f"no parquet files under {path}")
     par = parallelism or min(len(splits), spark.sparkContext.defaultParallelism * 2)
-    return spark.createDataFrame(splits, "path string, row_group int").repartition(par)
+    rdd = spark.sparkContext.parallelize(splits, par)
+    return spark.createDataFrame(rdd, "path string, row_group int")
 
 
 def batch_iterator(split_rows, columns: Sequence[str], batch_rows: int = 65536):
