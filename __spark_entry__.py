@@ -43,6 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
+        "dedup_exact_summary": Q.dedup_exact_summary,
+        "minhash_lsh_candidates": Q.minhash_lsh_candidates,
+        "simhash_near_duplicates": Q.simhash_near_duplicates,
+        "ann_cosine_topk": Q.ann_cosine_topk,
+        "text_quality_by_source": Q.text_quality_by_source,
+        "lang_id_confusion": Q.lang_id_confusion,
+        "doc_fingerprints": Q.doc_fingerprints,
     }
 
 
@@ -85,8 +92,120 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM words
         """,
-        # ell_distinct_tokens_per_source / token_passthrough_invariant run on
-        # the synthetic token table (not a DuckDB view) -> rows-only check;
-        # their statistical correctness is covered by pytest ground-truth
-        # tests (tests/test_spark_agg.py) and the *_bound queries above.
+        "dedup_exact_summary": """
+            SELECT source,
+                   count(*) AS docs,
+                   count(DISTINCT md5(text)) AS unique_contents,
+                   count(*) - count(DISTINCT md5(text)) AS removed_by_dedup
+            FROM documents GROUP BY source
+        """,
+        "minhash_lsh_candidates": f"""
+            WITH {WORD_CTE},
+            mh AS (
+                SELECT doc_id, i,
+                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
+                FROM words CROSS JOIN range(8) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
+                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
+                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
+                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
+                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
+                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
+                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
+                       max(CASE WHEN i = 7 THEN h END) AS mh_7
+                FROM mh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, emb.vec_id AS neighbor_id,
+                       list_cosine_similarity(emb.e, q.qe) AS cosine
+                FROM emb CROSS JOIN q
+                WHERE emb.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_quality_by_source": f"""
+            WITH feats AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT source,
+                       len(ws) AS n_words,
+                       round(list_sum(list_transform(ws, w -> len(w)))
+                             / greatest(len(ws), 1), 6) AS avg_word_len,
+                       round(len(list_distinct(ws))
+                             / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS distinct_ratio
+                FROM feats
+            )
+            SELECT source,
+                   count(*) AS docs,
+                   sum(n_words) AS total_words,
+                   round(avg(n_words), 6) AS avg_words,
+                   round(avg(avg_word_len), 6) AS avg_word_len,
+                   round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+            FROM per_doc GROUP BY source
+        """,
+        "lang_id_confusion": """
+            WITH per_doc AS (
+                SELECT lang,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            pred AS (
+                SELECT lang,
+                       CASE WHEN round(
+                                len(list_filter(ws, w -> list_contains(
+                                    ['the','a','and','of','to','in','is','for','on','with'], w)))
+                                / CAST(greatest(len(ws), 1) AS DOUBLE), 6) >= 0.03
+                            THEN 'en' ELSE 'other' END AS predicted_lang
+                FROM per_doc
+            )
+            SELECT lang, predicted_lang, count(*) AS docs
+            FROM pred GROUP BY lang, predicted_lang
+        """,
+        "doc_fingerprints": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       w -> w <> ''))), ' ')) AS fingerprint
+                FROM documents
+            )
+            SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        # rows-only (no SQL-expressible oracle):
+        # - ell_distinct_tokens_per_source / token_passthrough_invariant run
+        #   on the synthetic token table (not a DuckDB view); statistical
+        #   correctness is covered by pytest ground-truth tests
+        # - simhash_near_duplicates depends on xxhash64 (no DuckDB twin);
+        #   covered by pytest
     }
