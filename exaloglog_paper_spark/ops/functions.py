@@ -1,0 +1,99 @@
+"""Column-level sketch functions (Arrow-vectorized pandas UDFs).
+
+Surfaces the reference's scalar API as Spark column functions:
+
+- token_of / hash_of_token / token_is_valid  (≙ ExaLogLog.computeToken,
+  DistinctCountUtil.reconstructHash/isValidToken)
+- ell_estimate / ell_state_change_probability / ell_downsize — operate on a
+  serialized sketch column (≙ getDistinctCountEstimate,
+  getStateChangeProbability, downsize)
+- token_stream_estimate — the sketch-free estimator over token arrays
+  (≙ DistinctCountUtil.estimateDistinctCountFromTokens), usable per row or
+  per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType, BinaryType
+
+from ..sketchlib import exaloglog as ell
+
+
+def token_of(col, v: int = ell.V_MAX):
+    """64-bit hash column -> 32-bit token column."""
+
+    @F.pandas_udf(IntegerType())
+    def f(s: pd.Series) -> pd.Series:
+        h = s.to_numpy(np.int64).view(np.uint64)
+        return pd.Series(ell.compute_token(h, v).astype(np.uint32).view(np.int32))
+
+    return f(col)
+
+
+def hash_of_token(col, v: int = ell.V_MAX):
+    """Token column -> reconstructed canonical 64-bit hash column."""
+
+    @F.pandas_udf(LongType())
+    def f(s: pd.Series) -> pd.Series:
+        t = s.to_numpy(np.int32).view(np.uint32).astype(np.uint64)
+        return pd.Series(ell.reconstruct_hash(t, v).view(np.int64))
+
+    return f(col)
+
+
+def token_is_valid(col, v: int = ell.V_MAX):
+    @F.pandas_udf(BooleanType())
+    def f(s: pd.Series) -> pd.Series:
+        t = s.to_numpy(np.int32).view(np.uint32).astype(np.uint64)
+        return pd.Series(ell.is_valid_token(t, v))
+
+    return f(col)
+
+
+def ell_estimate(col, t: int = 2, d: int = 20):
+    """Serialized ExaLogLog state column -> ML distinct-count estimate."""
+
+    @F.pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: ell.ExaLogLog.wrap(t, d, bytes(b)).estimate())
+
+    return f(col)
+
+
+def ell_state_change_probability(col, t: int = 2, d: int = 20):
+    @F.pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: ell.ExaLogLog.wrap(t, d, bytes(b)).state_change_probability()
+        )
+
+    return f(col)
+
+
+def ell_downsize(col, t: int = 2, d: int = 20, to_d: int = 20, to_p: int = 8):
+    """Serialized state -> serialized state downsized to (to_d, to_p)."""
+
+    @F.pandas_udf(BinaryType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: ell.ExaLogLog.wrap(t, d, bytes(b)).downsize(to_d, to_p).serialize()
+        )
+
+    return f(col)
+
+
+def token_stream_estimate(col, v: int = ell.V_MAX):
+    """array<int32> of *tokens* -> sketch-free distinct estimate per row."""
+
+    @F.pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        def est(arr):
+            t = np.asarray(arr, dtype=np.int32).view(np.uint32).astype(np.uint64)
+            return ell.estimate_distinct_from_tokens(t, v)
+
+        return s.map(est)
+
+    return f(col)
