@@ -43,6 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
+        "top_customers_by_revenue": Q.top_customers_by_revenue,
+        "user_sessionization": Q.user_sessionization,
+        "kll_nchars_quantiles_bound": Q.kll_nchars_quantiles_bound,
+        "tdigest_nchars_quantiles_bound": Q.tdigest_nchars_quantiles_bound,
+        "cms_heavy_hitters_bound": Q.cms_heavy_hitters_bound,
+        "bloom_membership_bound": Q.bloom_membership_bound,
         "dedup_exact_summary": Q.dedup_exact_summary,
         "minhash_lsh_candidates": Q.minhash_lsh_candidates,
         "simhash_near_duplicates": Q.simhash_near_duplicates,
@@ -91,6 +97,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT word) AS distinct_words,
                    TRUE AS within_bound
             FROM words
+        """,
+        "top_customers_by_revenue": """
+            WITH rev AS (
+                SELECT o_custkey, round(sum(o_totalprice), 3) AS revenue
+                FROM orders GROUP BY o_custkey
+            ),
+            j AS (
+                SELECT c_mktsegment, c_custkey, revenue
+                FROM rev JOIN customer ON o_custkey = c_custkey
+            ),
+            r AS (
+                SELECT c_mktsegment, c_custkey, revenue,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY revenue DESC, c_custkey ASC) AS rank
+                FROM j
+            )
+            SELECT c_mktsegment, rank, c_custkey, revenue FROM r WHERE rank <= 10
+        """,
+        "user_sessionization": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(epoch(ts) AS BIGINT)
+                                    - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS events
+                FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS sessions,
+                   round(avg(events), 6) AS avg_events_per_session
+            FROM per_session GROUP BY user_id
+        """,
+        "kll_nchars_quantiles_bound": """
+            SELECT CAST(0.10 AS DOUBLE) AS q, round(quantile_cont(n_chars, 0.10), 6) AS exact_quantile, TRUE AS within_rank_tol FROM documents
+            UNION ALL SELECT 0.25, round(quantile_cont(n_chars, 0.25), 6), TRUE FROM documents
+            UNION ALL SELECT 0.50, round(quantile_cont(n_chars, 0.50), 6), TRUE FROM documents
+            UNION ALL SELECT 0.75, round(quantile_cont(n_chars, 0.75), 6), TRUE FROM documents
+            UNION ALL SELECT 0.90, round(quantile_cont(n_chars, 0.90), 6), TRUE FROM documents
+        """,
+        "tdigest_nchars_quantiles_bound": """
+            SELECT CAST(0.10 AS DOUBLE) AS q, round(quantile_cont(n_chars, 0.10), 6) AS exact_quantile, TRUE AS within_rank_tol FROM documents
+            UNION ALL SELECT 0.25, round(quantile_cont(n_chars, 0.25), 6), TRUE FROM documents
+            UNION ALL SELECT 0.50, round(quantile_cont(n_chars, 0.50), 6), TRUE FROM documents
+            UNION ALL SELECT 0.75, round(quantile_cont(n_chars, 0.75), 6), TRUE FROM documents
+            UNION ALL SELECT 0.90, round(quantile_cont(n_chars, 0.90), 6), TRUE FROM documents
+        """,
+        "cms_heavy_hitters_bound": f"""
+            WITH {WORD_CTE}
+            SELECT word, count(*) AS cnt, TRUE AS within_bound
+            FROM words GROUP BY word
+            ORDER BY cnt DESC, word ASC LIMIT 10
+        """,
+        "bloom_membership_bound": """
+            SELECT count(*) AS members,
+                   TRUE AS no_false_negatives,
+                   TRUE AS fpr_within_bound
+            FROM documents WHERE source = 'src0'
         """,
         "dedup_exact_summary": """
             SELECT source,

@@ -133,6 +133,169 @@ def hll_distinct_words_global_bound(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join orders x customer + window rank: top-10 customers by
+    total order value per market segment (relational breadth: join, window,
+    exact agg; the dimension side is explicitly broadcast)."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 3).alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("c_mktsegment", "rank", "c_custkey", "revenue")
+    )
+
+
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization over the events stream table: sessions
+    split on >30-minute gaps per user; per-user session count + avg session
+    event count."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the epoch matches DuckDB's
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.round(F.avg("events"), 6).alias("avg_events_per_session"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# companion-sketch queries with in-query bound verification (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def kll_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL(k=200) quantiles of documents.n_chars: output carries the exact
+    type-7 quantiles (oracle-computable) and a flag that every KLL estimate
+    lands within 0.05 normalized rank of its target (the published KLL
+    rank-error bound at k=200 is ~1.33·a/k << 0.05)."""
+    from .agg import float_values, sketch_agg
+    from .specs import KLLSpec
+
+    docs = _docs(spark, sf_dir).select(F.col("n_chars").cast("double").alias("v"))
+    spec = KLLSpec(k=200)
+    row = sketch_agg(docs, spec, float_values("v")).collect()[0]
+    sk = spec.deserialize(bytes(row.sketch))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = sk.quantile(__import__("numpy").array(qs))
+    n = docs.count()
+    checks = []
+    for q, e in zip(qs, ests):
+        rank = docs.filter(F.col("v") <= float(e)).count() / n
+        checks.append((q, abs(rank - q) <= 0.05))
+    exact = _docs(spark, sf_dir).select(
+        *[
+            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    ).collect()[0]
+    data = [
+        (q, float(exact[f"q{int(q * 100)}"]), bool(ok)) for (q, ok), _ in zip(checks, qs)
+    ]
+    return spark.createDataFrame(data, "q double, exact_quantile double, within_rank_tol boolean")
+
+
+def tdigest_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest(δ=200) version of the quantile bound check."""
+    from .agg import float_values, sketch_agg
+    from .specs import TDigestSpec
+
+    docs = _docs(spark, sf_dir).select(F.col("n_chars").cast("double").alias("v"))
+    spec = TDigestSpec(delta=200)
+    row = sketch_agg(docs, spec, float_values("v")).collect()[0]
+    td = spec.deserialize(bytes(row.sketch))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = td.quantile(__import__("numpy").array(qs))
+    n = docs.count()
+    checks = [
+        (q, abs(docs.filter(F.col("v") <= float(e)).count() / n - q) <= 0.05)
+        for q, e in zip(qs, ests)
+    ]
+    exact = _docs(spark, sf_dir).select(
+        *[
+            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    ).collect()[0]
+    data = [(q, float(exact[f"q{int(q * 100)}"]), bool(ok)) for q, ok in checks]
+    return spark.createDataFrame(data, "q double, exact_quantile double, within_rank_tol boolean")
+
+
+def cms_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min top words: output = exact top-10 (word, cnt) + flag that the
+    CMS estimate covers it within the eps*N overcount bound. Item ids are
+    JVM-side xxhash64(word) (codegen; no per-row Python anywhere)."""
+    import numpy as np
+
+    from ..sketchlib.bitops import splitmix64
+    from .agg import hash64_values, sketch_agg
+    from .specs import CountMinSpec
+
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    exact_top = (
+        words.groupBy("word", "h").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word")).limit(10)
+    ).collect()
+    spec = CountMinSpec(width=8192, depth=5, track=256)
+    row = sketch_agg(words, spec, hash64_values("h")).collect()[0]
+    cm, _cand = spec.deserialize(bytes(row.sketch))
+    n_total = int(row.n_values)
+    eps = float(np.e / 8192)
+    data = []
+    for r in exact_top:
+        wid = np.array([r.h], dtype=np.int64)
+        est = int(cm.query(splitmix64(wid.view(np.uint64)))[0])
+        ok = est >= r.cnt and (est - r.cnt) <= 2 * eps * n_total
+        data.append((r.word, int(r.cnt), bool(ok)))
+    return spark.createDataFrame(data, "word string, cnt long, within_bound boolean")
+
+
+def bloom_membership_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over src0 documents' digests: zero false negatives
+    (guaranteed) + false-positive rate below 3x the (1-e^{-kn/m})^k formula."""
+    from .agg import hash64_values, sketch_agg
+    from .specs import BloomSpec
+    import numpy as np
+
+    docs = _docs(spark, sf_dir)
+    members = docs.filter(F.col("source") == "src0").select(
+        F.xxhash64("text").alias("h")
+    )
+    spec = BloomSpec(num_bits=1 << 18, num_hashes=7)
+    row = sketch_agg(members, spec, hash64_values("h")).collect()[0]
+    bf = spec.deserialize(bytes(row.sketch))
+    member_h = np.array([r.h for r in members.collect()], dtype=np.int64).view(np.uint64)
+    non_members = np.array(
+        [r.h for r in docs.filter(F.col("source") != "src0").select(F.xxhash64("text").alias("h")).collect()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    no_false_neg = bool(bf.contains_hashes(member_h).all()) if len(member_h) else True
+    fpr = float(bf.contains_hashes(non_members).mean()) if len(non_members) else 0.0
+    fpr_ok = fpr <= 3 * spec.cfg.expected_fpr(max(len(member_h), 1)) + 0.001
+    return spark.createDataFrame(
+        [(int(len(member_h)), no_false_neg, bool(fpr_ok))],
+        "members long, no_false_negatives boolean, fpr_within_bound boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------

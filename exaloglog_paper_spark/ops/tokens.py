@@ -37,7 +37,8 @@ DEFAULT_SEED = 42
 TOKEN_TABLE_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 # rows per scale factor, aligned with the driver's testdata sf naming
-ROWS_PER_SF = {"sf0.001": 1_000, "sf0.01": 20_000, "sf0.1": 200_000}
+# (sf1 exists only for the scaling benchmark: ~674M tokens / ~2.7 GB)
+ROWS_PER_SF = {"sf0.001": 1_000, "sf0.01": 20_000, "sf0.1": 200_000, "sf1": 2_000_000}
 
 
 @lru_cache(maxsize=1)
