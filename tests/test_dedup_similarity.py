@@ -1,0 +1,94 @@
+"""Dedup and similarity operators: LSH recall, Jaccard verification,
+exact-dedup behavior (engine-level; SQL parity is covered by the oracle
+checker / driver)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # inject known exact + near duplicates
+    dup = base.filter(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail words")))
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def _words(df):
+    return df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.col("word") != "")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    from exaloglog_paper_spark.ops.dedup import dedup_exact, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) >= 5  # the 5 injected exact dups
+    for g in groups:
+        assert g.dup_count >= 2
+    deduped = dedup_exact(docs)
+    assert deduped.count() == docs.count() - sum(g.dup_count - 1 for g in groups)
+    # keeper is the min doc_id: injected copies (id+100000) must be gone
+    kept = {r.doc_id for r in deduped.select("doc_id").collect()}
+    assert not any(i + 100000 in kept for i in range(5))
+
+
+def test_minhash_lsh_finds_injected_duplicates(spark, docs):
+    from exaloglog_paper_spark.ops.dedup import (
+        jaccard_verified_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    words = _words(docs)
+    sigs = minhash_signatures(words)
+    cands = lsh_candidate_pairs(sigs)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    # exact duplicates always share every band
+    for i in range(5):
+        assert (i, i + 100000) in pairs, i
+    # near duplicates (tiny tail appended -> high word-set jaccard)
+    near_hits = sum((i, i + 200000) in pairs for i in range(5, 10))
+    assert near_hits >= 3
+    verified = jaccard_verified_pairs(words, cands, threshold=0.9)
+    vp = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    for i in range(5):
+        assert vp.get((i, i + 100000)) == 1.0
+
+
+def test_simhash_hamming_on_injected(spark, docs):
+    from exaloglog_paper_spark.ops.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_words(docs))
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sigs).collect()}
+    for i in range(5):
+        assert pairs.get((i, i + 100000)) == 0  # identical word sets
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    from exaloglog_paper_spark.ops.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = lsh_cosine_topk(emb, queries, k=10, nbits=8, probe_hamming=3)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall  # multi-probe sign-LSH @ 64d random vectors
+    # scoring is identical where both return the same pair
+    exact_sim = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_sim:
+            assert exact_sim[(r.query_id, r.neighbor_id)] == r.cosine

@@ -1,0 +1,47 @@
+"""Rollup re-aggregation and intersection estimation."""
+
+import numpy as np
+import pytest
+
+from exaloglog_paper_spark.ops import tokens as tok
+from exaloglog_paper_spark.ops.agg import (
+    ExaLogLogSpec,
+    sketch_agg,
+    token_array_values,
+    with_estimate,
+)
+from exaloglog_paper_spark.ops.rollup import (
+    estimate_intersection,
+    rollup_level,
+    sketch_rollup,
+)
+from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream
+from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLog
+
+
+def test_rollup_from_fine_sketches_equals_direct_global(spark):
+    """Global sketch derived by re-merging per-source sketches must be
+    byte-identical to a direct global build (no rescan needed)."""
+    spec = ExaLogLogSpec(2, 20, 8)
+    tdf = tok.token_table(spark, 300, num_partitions=5).cache()
+    fine = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"])
+    total = rollup_level(fine, spec, ()).collect()[0]
+    direct = sketch_agg(tdf, spec, token_array_values("tokens")).collect()[0]
+    assert bytes(total.sketch) == bytes(direct.sketch)
+    assert total.n_values == direct.n_values
+    # full hierarchy: (source) -> ()
+    levels = sketch_rollup(fine, spec, [("source",), ()])
+    rows = with_estimate(levels, spec).collect()
+    assert {r.level for r in rows} == {0, 1}
+    grand = [r for r in rows if r.level == 1]
+    assert len(grand) == 1 and bytes(grand[0].sketch) == bytes(direct.sketch)
+
+
+def test_intersection_inclusion_exclusion():
+    spec = ExaLogLogSpec(2, 20, 10)
+    # |A| = 60k, |B| = 50k, overlap 30k
+    base = splitmix64_stream(11, 80_000)
+    a = ExaLogLog.create(2, 20, 10).add_hashes(base[:60_000])
+    b = ExaLogLog.create(2, 20, 10).add_hashes(base[30_000:])
+    est = estimate_intersection(spec, a.serialize(), b.serialize())
+    assert est == pytest.approx(30_000, rel=0.15)
