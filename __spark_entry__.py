@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_words_per_source": Q.exact_distinct_words_per_source,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "heavy_hitters_words_exact": Q.heavy_hitters_words_exact,
+        "rollup_distinct_words": Q.rollup_distinct_words,
         "ell_distinct_words_per_source_bound": Q.ell_distinct_words_per_source_bound,
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
@@ -84,6 +85,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM words GROUP BY word
             ORDER BY cnt DESC, word ASC LIMIT 20
+        """,
+        "rollup_distinct_words": """
+            WITH words AS (
+                SELECT doc_id, source, lang, w AS word
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+                WHERE w <> ''
+            )
+            SELECT source, lang,
+                   count(DISTINCT word) AS distinct_words,
+                   count(DISTINCT doc_id) AS docs
+            FROM words GROUP BY ROLLUP(source, lang)
         """,
         "ell_distinct_words_per_source_bound": f"""
             WITH {WORD_CTE}

@@ -10,11 +10,11 @@ Spark SQL (bias = mean(err), rmse = sqrt(mean(err²)), both relative —
 RSE ``C_ml[t][d]/√2^p``.
 
 Rungs up to ``exact_limit`` are built by exact incremental inserts from a
-per-cycle splitmix64 stream; larger rungs sample the state directly under
-the Poisson model (sketchlib/simulate.py) — same technique the reference
-uses to reach 1e21 without 1e21 inserts. Per-rung marginal error
-distributions are identical; only the within-cycle correlation across rungs
-differs (irrelevant to per-rung bias/rmse).
+per-cycle splitmix64 stream; larger rungs use transition replay
+(sketchlib/simulate.generate_transitions ≙ TestUtils.java:134-153): one
+sampled first-hit cardinality per (update value, register) reconstructs the
+state at any rung with exact within-cycle continuity — the same technique
+the reference uses to reach 1e21 without 1e21 inserts.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sketchlib.bitops import splitmix64_stream
 from ..sketchlib.constants import theoretical_rse_ml
 from ..sketchlib.exaloglog import ExaLogLog
-from ..sketchlib.simulate import generate_exaloglog_poisson
+from ..sketchlib.simulate import generate_transitions, state_at_cardinality
 
 
 def geometric_ladder(max_n: float, ratio: float = 1.6, min_n: int = 1) -> list[float]:
@@ -68,6 +68,7 @@ def simulate_errors(
                 )
                 sk = ExaLogLog.create(t, d, p)
                 inserted = 0
+                transitions = None
                 for n in ladder:
                     if n <= exact_limit and float(n).is_integer():
                         todo = int(n) - inserted
@@ -77,7 +78,9 @@ def simulate_errors(
                             inserted = int(n)
                         est = sk.estimate()
                     else:
-                        est = generate_exaloglog_poisson(n, t, d, p, rng).estimate()
+                        if transitions is None:
+                            transitions = generate_transitions(t, d, p, rng)
+                        est = state_at_cardinality(transitions, n, t, d, p).estimate()
                     rows_rung.append(float(n))
                     rows_err.append(est / n - 1.0)
             yield pd.DataFrame({"rung": rows_rung, "err": rows_err})

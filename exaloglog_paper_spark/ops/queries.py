@@ -84,6 +84,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(source, lang): distinct words + doc counts at all three
+    levels (exact; sketch-based rollups share the same shape via
+    ops/rollup.sketch_rollup — byte-equal re-aggregation, tested)."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return words.rollup("source", "lang").agg(
+        F.count_distinct("word").alias("distinct_words"),
+        F.count_distinct("doc_id").alias("docs"),
+    )
+
+
 def heavy_hitters_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global top-20 words by frequency (deterministic tie-break)."""
     counts = _words(spark, sf_dir).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

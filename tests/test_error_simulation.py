@@ -49,6 +49,34 @@ def test_poisson_state_distribution_matches_exact_inserts():
     assert abs(errs.mean()) < 5 * rse / math.sqrt(len(errs))
 
 
+def test_transition_replay_continuity_and_accuracy():
+    """Transition replay: monotone states across rungs (same cycle) and
+    rmse within the published band at large n."""
+    from exaloglog_paper_spark.sketchlib.simulate import (
+        generate_transitions,
+        state_at_cardinality,
+    )
+
+    t, d, p = 2, 20, 8
+    rse = theoretical_rse_ml(t, d, p)
+    rng = np.random.default_rng(9)
+    errs = []
+    for _ in range(100):
+        tr = generate_transitions(t, d, p, rng)
+        prev_u = None
+        for n in [1e7, 1e9, 1e11]:
+            sk = state_at_cardinality(tr, n, t, d, p)
+            u = (sk.regs >> np.uint64(d)).astype(np.int64)
+            if prev_u is not None:
+                assert np.all(u >= prev_u)  # within-cycle continuity
+            prev_u = u
+            if n == 1e9:
+                errs.append(sk.estimate() / n - 1)
+    errs = np.array(errs)
+    rmse = float(np.sqrt((errs**2).mean()))
+    assert 0.5 * rse < rmse < 1.5 * rse, (rmse, rse)
+
+
 def test_spark_error_simulation_bounds(spark):
     t, d, p = 2, 20, 8
     ladder = [100.0, 3000.0, 50_000.0, 1e9, 1e12]  # last two via Poisson states
