@@ -108,6 +108,13 @@ def main() -> None:
     )
 
     timed(
+        "spark_builtin_hll_sketch_agg",
+        lambda: tdf.select(F.explode("tokens").alias("t"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("t", 14)))
+        .collect(),
+    )
+
+    timed(
         "exact_distinct_tokens",
         lambda: tdf.select(F.explode("tokens").alias("t")).agg(F.count_distinct("t")).collect(),
     )
@@ -116,6 +123,28 @@ def main() -> None:
         "ntok_stats",
         lambda: tdf.groupBy("source").agg(F.avg("n_tok"), F.expr("percentile(n_tok, 0.5)")).collect(),
     )
+
+    # training-data ops at sf scale (documents/embeddings tables)
+    def q_minhash():
+        from exaloglog_paper_spark.ops.queries import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(spark, SF_DIR).count()
+
+    extras["minhash_pairs"] = timed("minhash_lsh_candidates", q_minhash)
+
+    def q_dedup():
+        from exaloglog_paper_spark.ops.queries import dedup_exact_summary
+
+        return dedup_exact_summary(spark, SF_DIR).collect()
+
+    timed("dedup_exact_summary", q_dedup)
+
+    def q_ann():
+        from exaloglog_paper_spark.ops.queries import ann_cosine_topk
+
+        return ann_cosine_topk(spark, SF_DIR).collect()
+
+    timed("ann_cosine_topk", q_ann)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -37,7 +37,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BinaryType, DoubleType
 
-from ..sketchlib.bitops import splitmix64
+from ..sketchlib.bitops import as_u64, splitmix64
 from ..sketchlib.exaloglog import ExaLogLog, ExaLogLogConfig
 
 # ---------------------------------------------------------------------------
@@ -102,6 +102,76 @@ class ExaLogLogSpec(SketchSpec):
 
     def theoretical_rse(self) -> float:
         return self.cfg.theoretical_rse_ml()
+
+
+class SparseExaLogLogSpec(ExaLogLogSpec):
+    """Hybrid sparse/dense ExaLogLog (the reference's sparse-mode design,
+    ExaLogLog.java:236-253 javadoc): states stay a deduplicated sorted
+    uint32 token array while small (near-exact estimates via the
+    sketch-free token estimator, DistinctCountUtil.java:215-264), and
+    densify to registers once the token set would outgrow the register
+    state. Merge handles all sparse/dense combinations; dense(tokens(X))
+    == dense-built(X) exactly, so mixed pipelines stay byte-consistent.
+
+    Serialized form: 1-byte tag (0=sparse, 1=dense) + payload.
+    """
+
+    def __init__(self, t: int = 2, d: int = 20, p: int = 10, max_sparse: int | None = None):
+        super().__init__(t, d, p)
+        # default: switch when the token array would exceed the dense state
+        self.max_sparse = max_sparse or max(self.cfg.state_num_bytes // 4, 64)
+        self.name = f"sparse_exaloglog_t{t}_d{d}_p{p}"
+
+    def empty(self):
+        return np.empty(0, dtype=np.uint32)  # sparse
+
+    def _densify(self, tokens: np.ndarray) -> ExaLogLog:
+        sk = ExaLogLog.from_config(self.cfg)
+        sk.add_tokens(tokens.astype(np.uint64))
+        return sk
+
+    def add(self, state, values: np.ndarray):
+        from ..sketchlib.exaloglog import compute_token
+
+        tokens = compute_token(as_u64(values)).astype(np.uint32)
+        if isinstance(state, ExaLogLog):
+            state.add_tokens(tokens.astype(np.uint64))
+            return state
+        merged = np.union1d(state, tokens)
+        if len(merged) > self.max_sparse:
+            return self._densify(merged)
+        return merged
+
+    def merge(self, a, b):
+        if isinstance(a, ExaLogLog):
+            if isinstance(b, ExaLogLog):
+                return a.merge_(b)
+            a.add_tokens(b.astype(np.uint64))
+            return a
+        if isinstance(b, ExaLogLog):
+            b.add_tokens(a.astype(np.uint64))
+            return b
+        merged = np.union1d(a, b)
+        if len(merged) > self.max_sparse:
+            return self._densify(merged)
+        return merged
+
+    def serialize(self, state) -> bytes:
+        if isinstance(state, ExaLogLog):
+            return b"\x01" + state.serialize()
+        return b"\x00" + state.astype("<u4").tobytes()
+
+    def deserialize(self, data: bytes):
+        if data[:1] == b"\x01":
+            return ExaLogLog.wrap(self.cfg.t, self.cfg.d, data[1:])
+        return np.frombuffer(data, dtype="<u4", offset=1).copy()
+
+    def finalize(self, state) -> float:
+        if isinstance(state, ExaLogLog):
+            return state.estimate()
+        from ..sketchlib.exaloglog import estimate_distinct_from_tokens
+
+        return estimate_distinct_from_tokens(state.astype(np.uint64))
 
 
 class HyperLogLogSpec(ExaLogLogSpec):
