@@ -85,6 +85,50 @@ def ell_downsize(col, t: int = 2, d: int = 20, to_d: int = 20, to_p: int = 8):
     return f(col)
 
 
+def martingale_partition_estimates(df, extractor, t: int = 2, d: int = 20, p: int = 10):
+    """Per-partition martingale (HIP) estimates.
+
+    The martingale estimator is order-dependent and NOT mergeable
+    (MartingaleEstimator.java:32-35), so the correctly-scoped distributed
+    surface is *per input partition*: each task runs the sequential
+    insert+HIP loop over its own stream and emits
+    (partition_id, martingale_estimate, ml_estimate, n_values). Useful to
+    compare the two estimators on real partition streams; global counts
+    still come from the mergeable ML path.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    from ..sketchlib.exaloglog import ExaLogLog
+    from ..sketchlib.martingale import MartingaleEstimator, add_hashes_martingale
+
+    cols = list(extractor.input_cols)
+
+    def run(batches):
+        sk = ExaLogLog.create(t, d, p)
+        est = MartingaleEstimator()
+        n = 0
+        for batch in batches:
+            values, _ = extractor(batch)
+            add_hashes_martingale(sk, values, est)
+            n += len(values)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "partition_id": pa.array([pid], type=pa.int64()),
+                "martingale_estimate": pa.array([est.distinct_count_estimate], type=pa.float64()),
+                "ml_estimate": pa.array([sk.estimate()], type=pa.float64()),
+                "n_values": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return df.select(*cols).mapInArrow(
+        run,
+        "partition_id long, martingale_estimate double, ml_estimate double, n_values long",
+    )
+
+
 def token_stream_estimate(col, v: int = ell.V_MAX):
     """array<int32> of *tokens* -> sketch-free distinct estimate per row."""
 

@@ -29,7 +29,11 @@ def list_row_group_splits(path: str) -> list[tuple[str, int]]:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # flat Spark output dirs and hive/Iceberg-style partitioned layouts
+        files = sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+            or glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
     else:
         files = [path]
     splits: list[tuple[str, int]] = []

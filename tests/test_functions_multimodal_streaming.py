@@ -57,6 +57,22 @@ def test_token_stream_estimate_column(spark):
     assert abs(est / n - 1) < 0.02
 
 
+def test_martingale_partition_estimates(spark):
+    from exaloglog_paper_spark.ops.functions import martingale_partition_estimates
+    from exaloglog_paper_spark.sketchlib.constants import martingale_rse_constant
+
+    tdf = tok.token_table(spark, 120, num_partitions=3)
+    rows = martingale_partition_estimates(
+        tdf, token_array_values("tokens"), 2, 20, 10
+    ).collect()
+    assert len(rows) == 3
+    rse = martingale_rse_constant(2, 20) / (1 << 10) ** 0.5
+    for r in rows:
+        # per-partition true distinct ~ estimate within generous band
+        assert r.martingale_estimate > 0 and r.ml_estimate > 0
+        assert abs(r.martingale_estimate / r.ml_estimate - 1) < 8 * rse
+
+
 def test_multimodal_plumbing(spark):
     from exaloglog_paper_spark.ops.multimodal import (
         decode_and_featurize,
