@@ -60,6 +60,21 @@ def theoretical_rse_martingale(t: int, d: int, p: int) -> float:
     return martingale_rse_constant(t, d) / math.sqrt(1 << p)
 
 
+@lru_cache(maxsize=None)
+def ml_compressed_mvp(t: int, d: int) -> float:
+    """Theoretical MVP of an entropy-compressed state: entropy / (log2 ·
+    Fisher information) (``python/mvp.py:44-70``). Published values:
+    2.206 for (t=2, d=20); 3.044 for HLL."""
+    mp, b, x = _params(t, d)
+    fisher = mp.zeta(2.0, 1.0 + x) / mp.ln(b)
+    i = mp.quad(
+        lambda z: mp.power(z, x) * ((1 - z) * mp.log1p(-z) / (z * mp.log(z))),
+        [0, 1],
+    )
+    entropy = (mp.mpf(1) / (1 + x) + i) / (mp.log(2) * mp.ln(b))
+    return float(entropy / fisher)
+
+
 def theoretical_mvp_ml(t: int, d: int, p: int) -> float:
     """Memory-variance product: state bits × relative variance (mvp.py:45-76)."""
     bits = (6 + t + d) * (1 << p)

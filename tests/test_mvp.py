@@ -6,6 +6,37 @@ import pytest
 from exaloglog_paper_spark.experiments.mvp import empirical_mvp
 
 
+def test_compressed_mvp_constants_pinned():
+    from exaloglog_paper_spark.sketchlib.constants import ml_compressed_mvp
+
+    # results/constants/ml_compressed_mvp_constants.txt rows t=2/d=20, t=0/d=0
+    assert ml_compressed_mvp(2, 20) == pytest.approx(2.206010257671874, rel=1e-9)
+    assert ml_compressed_mvp(0, 0) == pytest.approx(3.0436599734226086, rel=1e-9)
+
+
+def test_compressed_state_economics():
+    """Deflate-compressed state bits x variance stays within 1.5x the
+    theoretical compressed MVP (≙ AbstractSpecificExaLogLogTest.java:247-293)."""
+    import zlib
+
+    import numpy as np
+
+    from exaloglog_paper_spark.sketchlib.constants import ml_compressed_mvp
+    from exaloglog_paper_spark.sketchlib.simulate import generate_exaloglog_poisson
+
+    t, d, p = 2, 20, 8
+    n = 1_000_000.0
+    rng = np.random.default_rng(4)
+    errs, sizes = [], []
+    for _ in range(200):
+        sk = generate_exaloglog_poisson(n, t, d, p, rng)
+        errs.append(sk.estimate() / n - 1)
+        sizes.append(len(zlib.compress(sk.serialize(), 9)))
+    errs = np.array(errs)
+    mvp_emp = 8 * float(np.mean(sizes)) * float(np.mean(errs**2))
+    assert mvp_emp <= 1.5 * ml_compressed_mvp(t, d), (mvp_emp, ml_compressed_mvp(t, d))
+
+
 def test_exaloglog_mvp_matches_published(spark):
     r = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=400, seed=1)
     assert r["state_bytes"] == 896
