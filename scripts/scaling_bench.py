@@ -103,7 +103,7 @@ def main() -> None:
 
 def _update_bench_md(report: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = os.path.join(REPO, "BENCH", "SCALING.md")
     rows = "\n".join(
         f"| local[{r['cpus']}] | {r['seconds']} s | {r['tokens_per_sec']:,.0f} tokens/s |"
         for r in report["levels"]
