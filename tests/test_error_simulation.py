@@ -8,6 +8,7 @@ import math
 import numpy as np
 import pytest
 
+from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream
 from exaloglog_paper_spark.experiments.error_simulation import (
     error_summary,
     geometric_ladder,
@@ -97,6 +98,36 @@ def test_spark_error_simulation_bounds(spark):
         if n >= 1e9:
             assert 0.55 < r.rmse_over_rse < 1.45, (n, r.rmse_over_rse)
         assert abs(r.bias) < 5 * r.rse_theory / math.sqrt(250), (n, r.bias)
+
+
+@pytest.mark.parametrize("v", [8, 10, 12])
+def test_token_estimator_rse_matches_theory(v):
+    """Token-stream estimator rmse ≈ 0.6491/√2^v (the d→∞, t=0 limit of the
+    ML RSE constant: sqrt(ln2/ζ(2,1)) — tokens retain the full nlz
+    histogram, ≙ TokenEstimationErrorSimulation variants v ∈ {6..26})."""
+    import math
+
+    from exaloglog_paper_spark.sketchlib.constants import ml_rse_constant
+    from exaloglog_paper_spark.sketchlib.exaloglog import compute_token
+
+    # d -> max for t=0 is the information limit of the token stream
+    c_limit = ml_rse_constant(0, 58)
+    rse = c_limit / math.sqrt(1 << v)
+    n = 60_000
+    errs = []
+    for c in range(150):
+        seed = int(splitmix64_stream(0xBEEF, 1, offset=c)[0])
+        hashes = splitmix64_stream(seed, n)
+        from exaloglog_paper_spark.sketchlib.exaloglog import (
+            estimate_distinct_from_tokens,
+        )
+
+        est = estimate_distinct_from_tokens(compute_token(hashes, v), v)
+        errs.append(est / n - 1)
+    errs = np.array(errs)
+    rmse = float(np.sqrt((errs**2).mean()))
+    assert 0.6 * rse < rmse < 1.4 * rse, (v, rmse, rse)
+    assert abs(errs.mean()) < 5 * rse / math.sqrt(150)
 
 
 def test_reference_style_csv(tmp_path, spark):

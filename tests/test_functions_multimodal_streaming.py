@@ -98,6 +98,38 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+def test_windowed_streaming_matches_batch(spark, tmp_path):
+    """Tumbling-window watermarked streaming aggregation == batch result."""
+    from exaloglog_paper_spark.streaming.windows import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    batch = {
+        (r.window_start, r.event_type): (r.events, r.approx_users)
+        for r in windowed_event_counts(events).collect()
+    }
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.events, r.approx_users)
+        for r in spark.sql("select * from win_events").collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match batch exactly, and most windows should have closed
+    assert len(got) >= 0.5 * len(batch)
+    for k, v in got.items():
+        assert batch[k] == v, k
+
+
 def test_streaming_sketch_matches_batch(spark, tmp_path):
     """availableNow micro-batch stream over a parquet dir: final per-source
     estimates equal the batch pipeline's (same kernel, same states)."""
