@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
+        "hourly_event_stats": Q.hourly_event_stats,
+        "intersection_distinct_words_bound": Q.intersection_distinct_words_bound,
         "top_customers_by_revenue": Q.top_customers_by_revenue,
         "user_sessionization": Q.user_sessionization,
         "kll_nchars_quantiles_bound": Q.kll_nchars_quantiles_bound,
@@ -110,6 +112,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT word) AS distinct_words,
                    TRUE AS within_bound
             FROM words
+        """,
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   event_type,
+                   count(*) AS events,
+                   count(DISTINCT user_id) AS users,
+                   round(sum(value), 3) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "intersection_distinct_words_bound": f"""
+            WITH {WORD_CTE}
+            SELECT count(*) AS exact_common_words, TRUE AS within_bound
+            FROM (
+                SELECT word FROM words WHERE source = 'src0'
+                INTERSECT
+                SELECT word FROM words WHERE source = 'src1'
+            )
         """,
         "top_customers_by_revenue": """
             WITH rev AS (

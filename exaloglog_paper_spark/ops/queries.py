@@ -197,6 +197,57 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the events table: counts + exact
+    distinct users (the batch twin of streaming/windows.py; exact for the
+    oracle — the streaming variant uses approx_count_distinct)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.count_distinct("user_id").alias("users"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+def intersection_distinct_words_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct words common to src0 and src1 via sketch inclusion-exclusion
+    vs the exact INTERSECT count; the oracle asserts the derived bound
+    |est − exact| ≤ 5·RSE·(est_A + est_B) (variance of the I-E sum)."""
+    from .agg import ExaLogLogSpec, hash64_values, sketch_agg
+    from .rollup import estimate_intersection
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    states = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg(
+            words.filter(F.col("source").isin("src0", "src1")),
+            spec,
+            hash64_values("h"),
+            by=["source"],
+        ).collect()
+    }
+    est = estimate_intersection(spec, states["src0"], states["src1"])
+    est_a = spec.finalize(spec.deserialize(states["src0"]))
+    est_b = spec.finalize(spec.deserialize(states["src1"]))
+    exact = (
+        words.filter(F.col("source") == "src0").select("word").distinct()
+        .intersect(words.filter(F.col("source") == "src1").select("word").distinct())
+        .count()
+    )
+    tol = 5 * spec.theoretical_rse() * (est_a + est_b)
+    return spark.createDataFrame(
+        [(int(exact), bool(abs(est - exact) <= tol))],
+        "exact_common_words long, within_bound boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # companion-sketch queries with in-query bound verification (oracle-checked)
 # ---------------------------------------------------------------------------
