@@ -65,6 +65,50 @@ def test_tdigest_ntok_quantiles(spark, tdf, truth):
         assert abs(e - exact) / exact < 0.1, (e, exact)
 
 
+def test_kll_cross_check_vs_spark_percentile_approx(spark, tdf):
+    """KLL and Spark's built-in percentile_approx agree within rank
+    tolerance of the exact quantiles (SURVEY §2.3 cross-check)."""
+    from pyspark.sql import functions as F
+
+    spec = KLLSpec(k=200)
+    row = sketch_agg(tdf, spec, float_values("n_tok")).collect()[0]
+    sk = spec.deserialize(bytes(row.sketch))
+    spark_q = tdf.select(
+        F.percentile_approx("n_tok", [0.25, 0.5, 0.75], 10000).alias("q")
+    ).collect()[0].q
+    exact = tdf.select(F.expr("percentile(n_tok, array(0.25, 0.5, 0.75))").alias("q")).collect()[0].q
+    kll_q = sk.quantile(np.array([0.25, 0.5, 0.75]))
+    for k_est, s_est, ex in zip(kll_q, spark_q, exact):
+        assert abs(k_est - ex) / ex < 0.1
+        assert abs(float(s_est) - ex) / ex < 0.1
+
+
+def test_companion_merge_properties():
+    """Hypothesis-style split/merge equality for CMS and Bloom (order and
+    partitioning never change the state)."""
+    import numpy as np
+
+    from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream
+    from exaloglog_paper_spark.sketchlib.bloom import BloomConfig, BloomFilter
+    from exaloglog_paper_spark.sketchlib.countmin import CountMin, CountMinConfig
+
+    h = splitmix64_stream(77, 30_000)
+    for cuts in [[0], [1, 2], [100, 20_000], [29_999], [7_000, 14_000, 21_000]]:
+        parts = np.split(h, sorted(cuts))
+        cm_cfg = CountMinConfig(512, 4)
+        cm_full = CountMin(cm_cfg).add_hashes(h)
+        cm_acc = CountMin(cm_cfg)
+        for part in reversed(parts):
+            cm_acc.merge_(CountMin(cm_cfg).add_hashes(part))
+        assert np.array_equal(cm_acc.table, cm_full.table)
+        bf_cfg = BloomConfig(1 << 14, 5)
+        bf_full = BloomFilter(bf_cfg).add_hashes(h)
+        bf_acc = BloomFilter(bf_cfg)
+        for part in parts:
+            bf_acc.merge_(BloomFilter(bf_cfg).add_hashes(part))
+        assert np.array_equal(bf_acc.bits, bf_full.bits)
+
+
 def test_bloom_membership_distributed(spark, tdf):
     from pyspark.sql import functions as F
     from exaloglog_paper_spark.ops.agg import hash64_values
