@@ -85,6 +85,54 @@ def ell_downsize(col, t: int = 2, d: int = 20, to_d: int = 20, to_p: int = 8):
     return f(col)
 
 
+def register_sql_functions(spark, t: int = 2, d: int = 20, v: int = ell.V_MAX) -> None:
+    """Expose the sketch functions to Spark SQL (``spark.sql`` / views):
+
+    - ``ell_token(hash)``, ``ell_hash_of_token(token)``, ``ell_token_valid(token)``
+    - ``ell_estimate(sketch)``, ``ell_change_probability(sketch)`` for the
+      given (t, d)
+    - ``ell_token_stream_estimate(tokens)``
+    """
+
+    @F.pandas_udf(IntegerType())
+    def _tok(s: pd.Series) -> pd.Series:
+        h = s.to_numpy(np.int64).view(np.uint64)
+        return pd.Series(ell.compute_token(h, v).astype(np.uint32).view(np.int32))
+
+    @F.pandas_udf(LongType())
+    def _hash(s: pd.Series) -> pd.Series:
+        tk = s.to_numpy(np.int32).view(np.uint32).astype(np.uint64)
+        return pd.Series(ell.reconstruct_hash(tk, v).view(np.int64))
+
+    @F.pandas_udf(BooleanType())
+    def _valid(s: pd.Series) -> pd.Series:
+        tk = s.to_numpy(np.int32).view(np.uint32).astype(np.uint64)
+        return pd.Series(ell.is_valid_token(tk, v))
+
+    @F.pandas_udf(DoubleType())
+    def _est(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: ell.ExaLogLog.wrap(t, d, bytes(b)).estimate())
+
+    @F.pandas_udf(DoubleType())
+    def _prob(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: ell.ExaLogLog.wrap(t, d, bytes(b)).state_change_probability())
+
+    @F.pandas_udf(DoubleType())
+    def _tse(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda arr: ell.estimate_distinct_from_tokens(
+                np.asarray(arr, dtype=np.int32).view(np.uint32).astype(np.uint64), v
+            )
+        )
+
+    spark.udf.register("ell_token", _tok)
+    spark.udf.register("ell_hash_of_token", _hash)
+    spark.udf.register("ell_token_valid", _valid)
+    spark.udf.register("ell_estimate", _est)
+    spark.udf.register("ell_change_probability", _prob)
+    spark.udf.register("ell_token_stream_estimate", _tse)
+
+
 def martingale_partition_estimates(df, extractor, t: int = 2, d: int = 20, p: int = 10):
     """Per-partition martingale (HIP) estimates.
 

@@ -112,6 +112,115 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket.cast("int"))
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    sample: int = 4096,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Seeded sample -> driver-side Lloyd iterations (centroid count is tiny;
+    the *assignment* of the full table stays distributed). Returns
+    (n_centroids, dim) float64, L2-normalized.
+    """
+    pdf = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            sel = x[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (JVM expressions over a
+    literal centroid table — broadcast by construction, codegen-friendly)."""
+    best_sim = None
+    best_cell = None
+    for c, row in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / _norm_expr(vec_col)
+        if best_sim is None:
+            best_sim, best_cell = dot, F.lit(0)
+        else:
+            best_cell = F.when(dot > best_sim, F.lit(c)).otherwise(best_cell)
+            best_sim = F.greatest(dot, best_sim)
+    return df.withColumn("ivf_cell", best_cell.cast("int"))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: score only vectors whose cell is among the query's nprobe
+    nearest centroids. At scale the table is written partitioned by
+    ivf_cell, so probing prunes whole files; here the filter expresses the
+    same plan."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, vec_col)
+    base = with_ivf_cell(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
+        centroids, "vec",
+    )
+    qpdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).toPandas()
+    qx = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qx @ centroids.T), axis=1)[:, :nprobe]
+    q = queries.sparkSession.createDataFrame(
+        [
+            (int(qpdf["query_id"][i]), [float(v) for v in qpdf["qvec"][i]], [int(c) for c in probes[i]])
+            for i in range(len(qpdf))
+        ],
+        "query_id long, qvec array<double>, probe_cells array<int>",
+    )
+    scored = (
+        base.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & F.array_contains(F.col("probe_cells"), F.col("ivf_cell")),
+        )
+        .withColumn(
+            "cosine",
+            _dot_expr("vec", "qvec") / (_norm_expr("vec") * _norm_expr("qvec")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

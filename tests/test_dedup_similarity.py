@@ -72,6 +72,32 @@ def test_simhash_hamming_on_injected(spark, docs):
         assert pairs.get((i, i + 100000)) == 0  # identical word sets
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from exaloglog_paper_spark.ops.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    assert cent.shape[1] == 64
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_cosine_topk(emb, queries, k=10, centroids=cent, nprobe=6)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall
+    # determinism: retrain gives identical centroids
+    cent2 = train_ivf_centroids(emb, n_centroids=16)
+    assert (cent == cent2).all()
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     from exaloglog_paper_spark.ops.similarity import cosine_topk, lsh_cosine_topk
 

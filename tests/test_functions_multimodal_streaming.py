@@ -57,6 +57,39 @@ def test_token_stream_estimate_column(spark):
     assert abs(est / n - 1) < 0.02
 
 
+def test_sql_registered_functions(spark):
+    from exaloglog_paper_spark.ops.functions import register_sql_functions
+    from exaloglog_paper_spark.ops.agg import ExaLogLogSpec, sketch_agg
+
+    register_sql_functions(spark, 2, 20)
+    tdf = tok.token_table(spark, 150, num_partitions=3)
+    spec = ExaLogLogSpec(2, 20, 10)
+    sketch_agg(tdf, spec, token_array_values("tokens")).createOrReplaceTempView("sk")
+    row = spark.sql(
+        "SELECT ell_estimate(sketch) AS est, ell_change_probability(sketch) AS p FROM sk"
+    ).collect()[0]
+    assert row.est > 0 and 0 <= row.p <= 1
+    r2 = spark.sql(
+        "SELECT ell_token_valid(ell_token(xxhash64('abc'))) AS ok, "
+        "ell_hash_of_token(ell_token(xxhash64('abc'))) AS h"
+    ).collect()[0]
+    assert r2.ok
+    tdf.createOrReplaceTempView("toks")
+    # proper pipeline: element hashes -> ExaLogLog tokens -> stream estimate
+    r3 = spark.sql(
+        """
+        WITH e AS (
+            SELECT doc_id, ell_token(xxhash64(t)) AS tk
+            FROM toks LATERAL VIEW explode(tokens) AS t
+        ),
+        g AS (SELECT doc_id, collect_list(tk) AS tks, count(DISTINCT tk) AS exact
+              FROM e GROUP BY doc_id)
+        SELECT avg(ell_token_stream_estimate(tks) / exact) AS ratio FROM g
+        """
+    ).collect()[0]
+    assert r3.ratio == pytest.approx(1.0, abs=0.02)  # near-exact at small n
+
+
 def test_martingale_partition_estimates(spark):
     from exaloglog_paper_spark.ops.functions import martingale_partition_estimates
     from exaloglog_paper_spark.sketchlib.constants import martingale_rse_constant
