@@ -444,6 +444,15 @@ def tree_merge(
     time); with P partials we add ⌈log_fanin(P)⌉ - 1 intermediate levels.
     """
     by = list(by)
+    if not by:
+        # guarantee one output row even when the input plan is empty
+        # (Catalyst may prune the scan to an empty relation, so stage A
+        # never runs); merging the seed empty state is an identity
+        seed = partials.sparkSession.createDataFrame(
+            [(spec.serialize(spec.empty()), 0, 0, 0.0)],
+            "sketch binary, n_values long, partition_id long, build_secs double",
+        )
+        partials = partials.unionByName(seed)
     remaining = num_partials if num_partials is not None else fanin
     while remaining > fanin:
         buckets = (remaining + fanin - 1) // fanin
