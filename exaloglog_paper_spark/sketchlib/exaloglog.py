@@ -350,8 +350,23 @@ class ExaLogLog:
         return self
 
     def add_hashes(self, hashes: np.ndarray) -> "ExaLogLog":
-        """Batch insert of 64-bit hash values (vectorized)."""
+        """Batch insert of 64-bit hash values (vectorized).
+
+        Fast path: an update with ``k < u - d`` for its register can never
+        change state (u only grows, so it stays below the history window).
+        One gather + compare drops those before the sort — once registers
+        warm up, >99% of a high-cardinality stream is filtered here,
+        making sustained insert cost ~1 gather/compare per element.
+        """
+        d = U64(self.cfg.d)
         idx, k = hash_to_idx_k(hashes, self.cfg.t, self.cfg.p)
+        # engage the filter only once registers are warm (cold sketches keep
+        # ~all elements, so the gather would be pure overhead)
+        if np.count_nonzero(self.regs) * 10 > 9 * self.cfg.m:
+            u_cur = self.regs[idx] >> d
+            keep = (k + d) >= u_cur
+            if not keep.all():
+                idx, k = idx[keep], k[keep]
         batch = build_registers(idx, k, self.cfg.m, self.cfg.d)
         self.regs = merge_register_vec(self.regs, batch, self.cfg.d)
         return self
