@@ -115,6 +115,23 @@ def test_distinct_docs_via_jvm_xxhash(spark, tdf):
     assert abs(row.estimate / N_ROWS - 1) < 3 * spec.theoretical_rse()
 
 
+def test_facade_helpers(spark, tdf, truth):
+    from exaloglog_paper_spark.ops import (
+        approx_distinct,
+        approx_distinct_tokens,
+        approx_quantiles,
+    )
+
+    rows = {r.source: r for r in approx_distinct_tokens(tdf, by=["source"]).collect()}
+    rse = ExaLogLogSpec(2, 20, 10).theoretical_rse()
+    for src, info in truth["per_source"].items():
+        assert abs(rows[src].estimate / info["distinct_tokens"] - 1) < 4 * rse
+    g = approx_distinct(tdf, "doc_id").collect()[0]
+    assert abs(g.estimate / N_ROWS - 1) < 3 * rse
+    q = approx_quantiles(tdf, "n_tok", [0.25, 0.5, 0.75])
+    assert q == sorted(q) and all(v > 0 for v in q)
+
+
 def test_hll_spec_shares_kernel(spark, tdf, truth):
     spec = HyperLogLogSpec(p=10)
     assert (spec.cfg.t, spec.cfg.d) == (0, 0)
