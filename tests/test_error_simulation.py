@@ -100,6 +100,35 @@ def test_spark_error_simulation_bounds(spark):
         assert abs(r.bias) < 5 * r.rse_theory / math.sqrt(250), (n, r.bias)
 
 
+def test_martingale_rse_matches_published():
+    """Martingale (HIP) estimator rmse ≈ published RSE 0.019858 at
+    ELL(2,20,8) (BASELINE.md); sequential per-cycle streams."""
+    from exaloglog_paper_spark.sketchlib.constants import martingale_rse_constant
+    from exaloglog_paper_spark.sketchlib.martingale import (
+        MartingaleEstimator,
+        add_hashes_martingale,
+    )
+
+    t, d, p = 2, 20, 8
+    rse = martingale_rse_constant(t, d) / math.sqrt(1 << p)
+    n = 10_000
+    errs = []
+    for c in range(80):
+        seed = int(splitmix64_stream(0xFACE, 1, offset=c)[0])
+        sk = ExaLogLog.create(t, d, p)
+        est = MartingaleEstimator()
+        add_hashes_martingale(sk, splitmix64_stream(seed, n), est)
+        errs.append(est.distinct_count_estimate / n - 1)
+    errs = np.array(errs)
+    rmse = float(np.sqrt((errs**2).mean()))
+    assert 0.6 * rse < rmse < 1.4 * rse, (rmse, rse)
+    assert abs(errs.mean()) < 5 * rse / math.sqrt(80)
+    # martingale is more efficient than ML at equal state (the paper's
+    # efficiency claim, mvp.txt martingale section)
+    ml_rse = theoretical_rse_ml(t, d, p)
+    assert rse < ml_rse
+
+
 @pytest.mark.parametrize("v", [8, 10, 12])
 def test_token_estimator_rse_matches_theory(v):
     """Token-stream estimator rmse ≈ 0.6491/√2^v (the d→∞, t=0 limit of the

@@ -131,6 +131,66 @@ def test_multimodal_plumbing(spark):
     assert frames.count() > 0
 
 
+def test_streaming_restart_from_checkpoint(spark, tmp_path):
+    """Stop a stateful sketch stream, append new data, restart from the
+    same checkpointLocation: state carries over and the final estimates
+    equal a batch run over ALL data (exactly-once state recovery)."""
+    from pyspark.sql import functions as F
+
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        sketch_agg,
+        token_array_values,
+        with_estimate,
+    )
+    from exaloglog_paper_spark.streaming.stateful import streaming_distinct_sketch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spec = ExaLogLogSpec(2, 20, 8)
+    first = tok.token_table(spark, 150, num_partitions=3)
+    first.write.mode("append").parquet(src)
+
+    latest: dict = {}
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(tok.TOKEN_TABLE_SCHEMA).parquet(src)
+            .selectExpr("source AS key", "tokens")
+            .groupBy("key")
+        )
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[r.key] = (round(r.estimate, 6), r.n_values)
+
+        q = (
+            streaming_distinct_sketch(stream, spec)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch of NEW rows arrives after the first query stopped
+    second = tok.token_table(spark, 150, num_partitions=3, seed=777)
+    second.write.mode("append").parquet(src)
+    run_once()
+    got = latest
+    both = first.unionByName(second)
+    batch = {
+        r.source: (round(r.estimate, 6), r.n_values)
+        for r in with_estimate(
+            sketch_agg(both, spec, token_array_values("tokens"), by=["source"]), spec
+        ).collect()
+    }
+    for key, v in batch.items():
+        assert got[key] == v, key
+
+
 def test_windowed_streaming_matches_batch(spark, tmp_path):
     """Tumbling-window watermarked streaming aggregation == batch result."""
     from exaloglog_paper_spark.streaming.windows import windowed_event_counts

@@ -115,6 +115,30 @@ def test_distinct_docs_via_jvm_xxhash(spark, tdf):
     assert abs(row.estimate / N_ROWS - 1) < 3 * spec.theoretical_rse()
 
 
+def test_mixed_precision_union(spark, tdf):
+    """Sketch tables built at different precisions combine via downsize +
+    merge into exactly the state of a direct low-precision build (the
+    reference's heterogeneous-merge semantics, distributed)."""
+    from exaloglog_paper_spark.ops import functions as fx
+    from exaloglog_paper_spark.ops.rollup import rollup_level
+
+    half_a = tdf.filter(F.col("n_tok") % 2 == 0)
+    half_b = tdf.filter(F.col("n_tok") % 2 == 1)
+    hi = sketch_agg(half_a, ExaLogLogSpec(2, 20, 10), token_array_values("tokens"))
+    lo = sketch_agg(half_b, ExaLogLogSpec(2, 20, 8), token_array_values("tokens"))
+    hi_down = hi.select(
+        fx.ell_downsize(F.col("sketch"), 2, 20, to_d=20, to_p=8).alias("sketch"),
+        "n_values",
+    )
+    spec8 = ExaLogLogSpec(2, 20, 8)
+    combined = rollup_level(
+        hi_down.unionByName(lo.select("sketch", "n_values")), spec8, ()
+    ).collect()[0]
+    direct = sketch_agg(tdf, spec8, token_array_values("tokens")).collect()[0]
+    assert bytes(combined.sketch) == bytes(direct.sketch)
+    assert combined.n_values == direct.n_values
+
+
 def test_facade_helpers(spark, tdf, truth):
     from exaloglog_paper_spark.ops import (
         approx_distinct,
