@@ -19,8 +19,6 @@ the reference uses to reach 1e21 without 1e21 inserts.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F

@@ -3,7 +3,7 @@
 The distributed pattern mirrors Spark's own partial/final hash aggregation,
 expressed with Arrow-vectorized UDFs (never per-row Python):
 
-  stage A  ``mapInPandas``   — one partial sketch per (partition × group);
+  stage A  ``mapInArrow``    — one partial sketch per (partition × group);
                                skew-proof: a hot group contributes one tiny
                                binary state per partition, not its raw rows.
   stage B  tree merge        — ``groupBy(by, pmod(partition_id, buckets))``
@@ -29,13 +29,13 @@ from __future__ import annotations
 
 import abc
 import time
-from typing import Callable, Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BinaryType, DoubleType
+from pyspark.sql.types import DoubleType
 
 from ..sketchlib.bitops import as_u64, splitmix64
 from ..sketchlib.exaloglog import ExaLogLog, ExaLogLogConfig

@@ -19,7 +19,7 @@ strings/doc), so the join input is ~100 bytes/doc at 10^12 docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 NUM_MINHASHES = 8

@@ -19,7 +19,7 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .agg import PARTIAL_COLS, SketchSpec, _by_schema
+from .agg import SketchSpec, _by_schema
 
 
 def rollup_level(

@@ -9,8 +9,6 @@ estimator on merged register states.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from .bitops import U64, as_u64, nlz64, pow2
