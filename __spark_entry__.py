@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
+        "salted_vs_mapside_consistency": Q.salted_vs_mapside_consistency,
+        "sketch_rollup_tokens": Q.sketch_rollup_tokens,
+        "sparse_distinct_tokens_per_doc_sample": Q.sparse_distinct_tokens_per_doc_sample,
         "hourly_event_stats": Q.hourly_event_stats,
         "intersection_distinct_words_bound": Q.intersection_distinct_words_bound,
         "top_customers_by_revenue": Q.top_customers_by_revenue,

@@ -470,6 +470,91 @@ def ell_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def salted_vs_mapside_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking: the salted-shuffle aggregation path must produce
+    byte-identical per-source states to the map-side partial path (explicit
+    skew-mitigation correctness, rows-only driver check)."""
+    from .agg import ExaLogLogSpec, sketch_agg, sketch_agg_salted, token_array_values
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    a = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg(df, spec, token_array_values("tokens"), by=["source"]).collect()
+    }
+    b = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg_salted(
+            df, spec, token_array_values("tokens"), by=["source"],
+            salt_col="doc_id", n_salts=8,
+        ).collect()
+    }
+    return spark.createDataFrame(
+        [(len(a), a == b)], "sources long, states_identical boolean"
+    )
+
+
+def sketch_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-native rollup: per-source + grand-total distinct-token
+    estimates derived from ONE pass (coarser level re-merged from finer
+    sketch rows, no rescan)."""
+    from .agg import ExaLogLogSpec, sketch_agg, token_array_values, with_estimate
+    from .rollup import sketch_rollup
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    fine = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
+    levels = sketch_rollup(fine, spec, [("source",), ()])
+    return with_estimate(levels, spec).select(
+        "source", "level", "n_values", F.round("estimate", 2).alias("distinct_tokens_est")
+    )
+
+
+def sparse_distinct_tokens_per_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-mode hybrid sketch on a small sample: per-row sketch-free
+    token estimates vs exact per-row distinct counts (all within 1%)."""
+    from .functions import token_stream_estimate
+
+    df = tok.token_table_for_sf_dir(spark, sf_dir).limit(200)
+    # per-row: tokens -> element hashes -> ExaLogLog tokens -> estimate
+    hashed = df.select(
+        "doc_id",
+        F.expr("transform(tokens, x -> xxhash64(x))").alias("hs"),
+        F.size(F.array_distinct("tokens")).alias("exact_distinct"),
+    )
+    ests = hashed.select(
+        "doc_id",
+        "exact_distinct",
+        token_stream_estimate(
+            _tokens_of_hashes_col(F.col("hs"))
+        ).alias("est"),
+    )
+    return ests.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.abs(F.col("est") / F.col("exact_distinct") - 1) > 0.02).cast("long")).alias(
+            "rows_outside_1pct"
+        ),
+    )
+
+
+def _tokens_of_hashes_col(col):
+    """array<long> of hashes -> array<int> of ExaLogLog tokens (Arrow UDF)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from ..sketchlib.exaloglog import compute_token
+
+    def f(s):
+        def conv(arr):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            return compute_token(h).astype(np.uint32).view(np.int32)
+
+        return s.map(conv)
+
+    return F.pandas_udf(f, ArrayType(IntegerType()))(col)
+
+
 def token_passthrough_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant vs reference (BASELINE.json input_hint): the tokens
     array passes through the engine bit-identically and n_tok == len(tokens).
