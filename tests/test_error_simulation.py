@@ -100,6 +100,38 @@ def test_spark_error_simulation_bounds(spark):
         assert abs(r.bias) < 5 * r.rse_theory / math.sqrt(250), (n, r.bias)
 
 
+def test_exact_enumeration_n1_matches_reference_empirical():
+    """Exhaustive single-insert enumeration (≙ AbstractSpecificExaLogLog
+    Test.java:640-868): the *analytically exact* expected bias/rmse at n=1
+    must agree with the reference's published 100k-cycle empirical values
+    (CSV row n=1: bias -1.9309e-4, rmse 4.1363e-4) within their Monte-Carlo
+    error — this pins contribute + solver + bias-correction end to end."""
+    from exaloglog_paper_spark.sketchlib.simulate import (
+        generate_hash_for_update,
+        phi,
+    )
+
+    t, d, p = 2, 20, 8
+    kmax = (65 - p - t) << t
+    ks = np.arange(1, kmax + 1)
+    probs = np.ldexp(1.0, -phi(ks, p, t))
+    assert probs.sum() == 1.0  # exact outcome partition
+    E = 0.0
+    E2 = 0.0
+    for k, pr in zip(ks.tolist(), probs.tolist()):
+        sk = ExaLogLog.create(t, d, p)
+        sk.add_hashes(np.array([generate_hash_for_update(k, 0, p, t)], dtype=np.uint64))
+        est = sk.estimate()
+        E += pr * est
+        E2 += pr * (est - 1.0) ** 2
+    bias = E - 1.0
+    rmse = math.sqrt(E2)
+    # reference empirical sigma: rmse/sqrt(1e5) ~ 1.3e-6 for bias,
+    # ~rmse/sqrt(2e5) ~ 9e-7 for rmse; allow 5 sigma
+    assert abs(bias - (-1.9308568953875014e-4)) < 7e-6, bias
+    assert abs(rmse - 4.136276370522179e-4) < 7e-6, rmse
+
+
 def test_martingale_rse_matches_published():
     """Martingale (HIP) estimator rmse ≈ published RSE 0.019858 at
     ELL(2,20,8) (BASELINE.md); sequential per-cycle streams."""
