@@ -81,11 +81,14 @@ def main() -> None:
         extras["distinct_tokens_est"] = round(float(row.estimate), 1)
         return row
 
-    # min of 2 runs: the sandbox shares cores with other tenants
+    # min of 3 runs: the sandbox shares cores with other tenants
     timed("ell_global_build", q_global_build)
-    t0 = time.monotonic()
-    q_global_build()
-    timings["ell_global_build"] = min(timings["ell_global_build"], round(time.monotonic() - t0, 3))
+    for _ in range(2):
+        t0 = time.monotonic()
+        q_global_build()
+        timings["ell_global_build"] = min(
+            timings["ell_global_build"], round(time.monotonic() - t0, 3)
+        )
     extras["tokens_per_sec"] = round(extras["total_tokens"] / timings["ell_global_build"], 1)
 
     timed(
