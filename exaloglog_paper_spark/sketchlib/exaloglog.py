@@ -158,9 +158,13 @@ def build_registers(idx: np.ndarray, k: np.ndarray, m: int, d: int) -> np.ndarra
     regs = np.zeros(m, dtype=np.uint64)
     if len(idx) == 0:
         return regs
-    combined = np.unique((idx << U64(_KBITS)) | k)  # sorted + dedup
-    idxs = combined >> U64(_KBITS)
-    ks = combined & U64((1 << _KBITS) - 1)
+    # pack (idx, k) into one sort key; k needs up to 30 bits for large t
+    # (max k = (65-p-t)<<t, e.g. ~209k at t=12), so size the field from the
+    # batch's actual max instead of assuming 16 bits
+    kbits = max(int(k.max()).bit_length(), 1)
+    combined = np.unique((idx << U64(kbits)) | k)  # sorted + dedup
+    idxs = combined >> U64(kbits)
+    ks = combined & U64((1 << kbits) - 1)
     starts = np.flatnonzero(np.concatenate(([True], idxs[1:] != idxs[:-1])))
     ends = np.concatenate((starts[1:], [len(combined)])) - 1
     u_seg = ks[ends]

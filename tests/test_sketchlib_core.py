@@ -109,6 +109,27 @@ def test_merge_equals_single_build_over_union(t, d, p):
         assert np.array_equal(merged.regs, full.regs), f"cut={cut}"
 
 
+@pytest.mark.parametrize("t,d,p", [(6, 10, 4), (8, 4, 5), (12, 8, 4), (16, 2, 3)])
+def test_build_registers_large_t_matches_scalar_path(t, d, p):
+    """Vectorized batch build ≡ sequential per-element add for large t, where
+    update values k = (nlz<<t)+... exceed 16 bits (regression: the packed
+    (idx,k) sort key must size the k field from the batch's actual max)."""
+    from exaloglog_paper_spark.sketchlib.martingale import (
+        MartingaleEstimator,
+        add_hashes_martingale,
+    )
+
+    hashes = splitmix64_stream(31, 2500)
+    vec = ExaLogLog.create(t, d, p).add_hashes(hashes)
+    seq = ExaLogLog.create(t, d, p)
+    add_hashes_martingale(seq, hashes, MartingaleEstimator())
+    assert np.array_equal(vec.regs, seq.regs)
+    # merge-split contract holds at large t too
+    a = ExaLogLog.create(t, d, p).add_hashes(hashes[:700])
+    b = ExaLogLog.create(t, d, p).add_hashes(hashes[700:])
+    assert np.array_equal(ExaLogLog.merge(a, b).regs, vec.regs)
+
+
 def test_merge_associative_commutative_tree_vs_sequential():
     cfg = (2, 20, 8)
     hashes = splitmix64_stream(7, 9000)
