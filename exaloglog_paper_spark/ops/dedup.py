@@ -63,22 +63,18 @@ def minhash_signatures(
     hex prefix (string minima are engine-portable). Output:
     (id, mh_0..mh_{n-1}).
     """
-    hashed = words.select(
-        id_col,
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
-        F.col(word_col).alias("w"),
-    ).select(
-        id_col,
-        "i",
-        F.substring(
-            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("w"))), 1, 16
-        ).alias("h"),
-    )
-    agg = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
-    pivoted = agg.groupBy(id_col).pivot("i", list(range(num_hashes))).agg(F.first("mh"))
-    return pivoted.select(
-        id_col, *[F.col(str(i)).alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    # One hash-aggregate with num_hashes min() columns: no row explosion, no
+    # pivot, a single shuffle on id_col with map-side partial mins. min() over
+    # the word multiset equals min() over the word set, so no distinct needed.
+    mins = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col(word_col))), 1, 16
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return words.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(

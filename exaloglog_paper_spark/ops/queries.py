@@ -35,11 +35,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to cluster parallelism before CPU-heavy per-row
+    work (explode + hashing). A tiny parquet file arrives as one split, which
+    would serialize the downstream map work onto one core; at real scale the
+    scan already has >= defaultParallelism splits and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+
+
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents exploded to one row per word (deterministic tokenization
     shared with the DuckDB oracle)."""
     return (
-        _docs(spark, sf_dir)
+        _spread(_docs(spark, sf_dir))
         .select(
             "doc_id",
             "source",
