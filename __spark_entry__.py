@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from exaloglog_paper_spark.ops import queries as Q  # noqa: E402
+from exaloglog_paper_spark.ops import tokens as _tok  # noqa: E402
+
+# The synthetic pre-tokenized table (BASELINE.json input_hint) is a pure
+# function of the row index; materializing it to parquet lets DuckDB read the
+# exact same rows and verify the token-pipeline queries independently.
+TOKENS_PQ = _tok.materialized_table_path("sf0.01")
 
 WORD_CTE = """
 words AS (
@@ -68,7 +74,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # ensure the parquet twin exists even if the driver evaluates oracles
+    # before (or without) running the Spark queries
+    _tok.materialize_token_table("sf0.01")
     return {
+        "ell_distinct_tokens_per_source": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            ex AS (
+                SELECT source, count(DISTINCT t) AS exact_distinct_tokens
+                FROM (SELECT source, unnest(tokens) AS t FROM tt) GROUP BY source
+            ),
+            tot AS (
+                SELECT source, sum(n_tok)::BIGINT AS total_tokens FROM tt GROUP BY source
+            )
+            SELECT tot.source AS source, total_tokens, exact_distinct_tokens,
+                   TRUE AS within_bound
+            FROM tot JOIN ex USING (source)
+        """,
+        "sketch_rollup_tokens": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            ex AS (
+                SELECT source, grouping(source)::INT AS level,
+                       count(DISTINCT t) AS exact_distinct_tokens
+                FROM (SELECT source, unnest(tokens) AS t FROM tt)
+                GROUP BY ROLLUP(source)
+            ),
+            tot AS (
+                SELECT source, grouping(source)::INT AS level,
+                       sum(n_tok)::BIGINT AS total_tokens
+                FROM tt GROUP BY ROLLUP(source)
+            )
+            SELECT tot.source AS source, tot.level AS level, total_tokens,
+                   exact_distinct_tokens, TRUE AS within_bound
+            FROM tot JOIN ex
+              ON tot.source IS NOT DISTINCT FROM ex.source AND tot.level = ex.level
+        """,
+        "salted_vs_mapside_consistency": f"""
+            SELECT count(DISTINCT source)::BIGINT AS sources,
+                   TRUE AS states_identical
+            FROM read_parquet('{TOKENS_PQ}')
+        """,
+        "sparse_distinct_tokens_per_doc_sample": f"""
+            SELECT count(*) AS "rows", 0::BIGINT AS rows_outside_1pct
+            FROM read_parquet('{TOKENS_PQ}')
+            WHERE doc_id < 'doc-0000000200'
+        """,
+        "token_passthrough_invariant": f"""
+            SELECT count(*) AS "rows",
+                   sum(CASE WHEN n_tok <> len(tokens) THEN 1 ELSE 0 END)::BIGINT AS bad_len,
+                   0::BIGINT AS bad_tokens
+            FROM read_parquet('{TOKENS_PQ}')
+        """,
         "exact_distinct_words_per_source": f"""
             WITH {WORD_CTE}
             SELECT source,

@@ -502,26 +502,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sf_name(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
 def ell_distinct_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: per-source approximate distinct-token counts over the
-    (doc_id, tokens, n_tok, source) table with ExaLogLog(2,20,10)."""
+    (doc_id, tokens, n_tok, source) table with ExaLogLog(2,20,10).
+
+    Oracle-checkable end to end: the deterministic table is materialized to
+    parquet for DuckDB, which recomputes total/exact-distinct tokens per
+    source; ``within_bound`` asserts |est/exact - 1| <= 5*RSE."""
     spec = ExaLogLogSpec(2, 20, 10)
+    tok.materialize_token_table(_sf_name(sf_dir))
     df = tok.token_table_for_sf_dir(spark, sf_dir)
     out = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
-    return with_estimate(out, spec).select(
+    est = with_estimate(out, spec).select(
+        "source", F.col("n_values").alias("total_tokens"), "estimate"
+    )
+    exact = (
+        df.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.count_distinct("t").alias("exact_distinct_tokens"))
+    )
+    bound = 5 * spec.theoretical_rse()
+    return est.join(exact, "source").select(
         "source",
-        F.col("n_values").alias("total_tokens"),
-        F.round(F.col("estimate"), 2).alias("distinct_tokens_est"),
+        "total_tokens",
+        "exact_distinct_tokens",
+        (
+            F.abs(F.col("estimate") / F.col("exact_distinct_tokens") - 1) <= F.lit(bound)
+        ).alias("within_bound"),
     )
 
 
 def salted_vs_mapside_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-checking: the salted-shuffle aggregation path must produce
     byte-identical per-source states to the map-side partial path (explicit
-    skew-mitigation correctness, rows-only driver check)."""
+    skew-mitigation correctness; the oracle independently recounts the
+    source groups from the materialized parquet twin)."""
     from .agg import ExaLogLogSpec, sketch_agg, sketch_agg_salted, token_array_values
 
     spec = ExaLogLogSpec(2, 20, 8)
+    tok.materialize_token_table(_sf_name(sf_dir))
     df = tok.token_table_for_sf_dir(spark, sf_dir)
     a = {
         r.source: bytes(r.sketch)
@@ -547,11 +570,34 @@ def sketch_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rollup import sketch_rollup
 
     spec = ExaLogLogSpec(2, 20, 10)
+    tok.materialize_token_table(_sf_name(sf_dir))
     df = tok.token_table_for_sf_dir(spark, sf_dir)
     fine = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
     levels = sketch_rollup(fine, spec, [("source",), ()])
-    return with_estimate(levels, spec).select(
-        "source", "level", "n_values", F.round("estimate", 2).alias("distinct_tokens_est")
+    est = with_estimate(levels, spec).select(
+        "source", "level", F.col("n_values").alias("total_tokens"), "estimate"
+    )
+    exact = (
+        df.select("source", F.explode("tokens").alias("t"))
+        .rollup("source")
+        .agg(
+            F.count_distinct("t").alias("exact_distinct_tokens"),
+            F.grouping("source").cast("int").alias("e_level"),
+        )
+        .select(F.col("source").alias("e_source"), "e_level", "exact_distinct_tokens")
+    )
+    bound = 5 * spec.theoretical_rse()
+    return est.join(
+        exact,
+        est["source"].eqNullSafe(exact["e_source"]) & (est["level"] == exact["e_level"]),
+    ).select(
+        "source",
+        "level",
+        "total_tokens",
+        "exact_distinct_tokens",
+        (
+            F.abs(F.col("estimate") / F.col("exact_distinct_tokens") - 1) <= F.lit(bound)
+        ).alias("within_bound"),
     )
 
 
@@ -560,7 +606,11 @@ def sparse_distinct_tokens_per_doc_sample(spark: SparkSession, sf_dir: str) -> D
     token estimates vs exact per-row distinct counts (all within 1%)."""
     from .functions import token_stream_estimate
 
-    df = tok.token_table_for_sf_dir(spark, sf_dir).limit(200)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    # deterministic sample: zero-padded doc_ids make this a stable prefix cut
+    df = tok.token_table_for_sf_dir(spark, sf_dir).filter(
+        F.col("doc_id") < "doc-0000000200"
+    )
     # per-row: tokens -> element hashes -> ExaLogLog tokens -> estimate
     hashed = df.select(
         "doc_id",
@@ -603,9 +653,29 @@ def _tokens_of_hashes_col(col):
 def token_passthrough_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row invariant vs reference (BASELINE.json input_hint): the tokens
     array passes through the engine bit-identically and n_tok == len(tokens).
-    Returns a single row of violation counts (must be zeros)."""
-    df = tok.token_table_for_sf_dir(spark, sf_dir)
-    return df.agg(
-        F.sum((F.size("tokens") != F.col("n_tok")).cast("long")).alias("bad_len"),
+
+    The engine's distributed table is full-outer-joined row-by-row against
+    the materialized parquet copy (the same file the DuckDB oracle reads), so
+    ``bad_tokens`` counts any array<int32> that survives Spark scan/shuffle
+    non-identically. All violation counts must be zero."""
+    path = tok.materialize_token_table(_sf_name(sf_dir))
+    gen = tok.token_table_for_sf_dir(spark, sf_dir)
+    ref = spark.read.parquet(path).select(
+        "doc_id",
+        F.col("tokens").alias("ref_tokens"),
+        F.col("n_tok").alias("ref_n_tok"),
+    )
+    j = gen.join(ref, "doc_id", "full_outer")
+    return j.agg(
         F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.size("tokens").eqNullSafe(F.col("n_tok")), 0).otherwise(1)
+        ).alias("bad_len"),
+        F.sum(
+            F.when(
+                F.col("tokens").eqNullSafe(F.col("ref_tokens"))
+                & F.col("n_tok").eqNullSafe(F.col("ref_n_tok")),
+                0,
+            ).otherwise(1)
+        ).alias("bad_tokens"),
     )

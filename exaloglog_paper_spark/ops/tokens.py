@@ -113,6 +113,44 @@ def token_table_for_sf_dir(spark, sf_dir: str, seed: int = DEFAULT_SEED):
     return token_table(spark, ROWS_PER_SF.get(name, 20_000), seed)
 
 
+def materialized_table_path(sf_name: str, seed: int = DEFAULT_SEED) -> str:
+    return f"/tmp/exaloglog_tokens_{sf_name}_seed{seed}.parquet"
+
+
+def materialize_token_table(sf_name: str, seed: int = DEFAULT_SEED) -> str:
+    """Write the deterministic token table to a local parquet file so the
+    DuckDB oracle can read the *same rows* via ``read_parquet()`` and verify
+    the Spark pipeline independently (exact distinct/total token counts,
+    per-row n_tok == len(tokens), token-array pass-through).
+
+    Idempotent (skips if present); atomic via temp-file + rename. Bounded to
+    test scale factors — the 10^12-row deployment reads Iceberg instead.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = materialized_table_path(sf_name, seed)
+    if os.path.exists(path):
+        return path
+    num_rows = ROWS_PER_SF.get(sf_name, 20_000)
+    pdf = generate_rows(np.arange(num_rows, dtype=np.uint64), seed)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def exact_ground_truth(num_rows: int, seed: int = DEFAULT_SEED) -> dict:
     """Exact distinct counts etc. computed locally with the same generator
     (viable for test scales; used as the oracle for sketch-accuracy checks)."""
