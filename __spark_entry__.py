@@ -73,11 +73,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of ops/dedup.simhash_signatures + simhash_near_pairs:
+    bit b of h(word) = bit (b % 4), LSB-first, of md5 hex nibble (b // 4)."""
+    nib = "strpos('0123456789abcdef', substr(md5(word), {p}, 1)) - 1"
+    sums = ",\n                ".join(
+        f"sum(CASE WHEN (({nib.format(p=b // 4 + 1)}) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    chunk_exprs = ",\n                ".join(
+        " + ".join(
+            f"(CASE WHEN s{16 * c + j} > 0 THEN 1 ELSE 0 END << {j})" for j in range(16)
+        )
+        + f" AS chunk_{c}"
+        for c in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(ca_{i}, cb_{i}))" for i in range(4))
+    return f"""
+        WITH {WORD_CTE},
+        sums AS (
+            SELECT doc_id,
+                {sums}
+            FROM words GROUP BY doc_id
+        ),
+        chunks AS (
+            SELECT doc_id,
+                {chunk_exprs}
+            FROM sums
+        ),
+        bands AS (
+            SELECT doc_id, chunk_0, chunk_1, chunk_2, chunk_3, band,
+                   CASE band WHEN 0 THEN chunk_0 WHEN 1 THEN chunk_1
+                             WHEN 2 THEN chunk_2 ELSE chunk_3 END AS chunk
+            FROM chunks, unnest([0, 1, 2, 3]) AS t(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.chunk_0 AS ca_0, a.chunk_1 AS ca_1,
+                   a.chunk_2 AS ca_2, a.chunk_3 AS ca_3,
+                   b.chunk_0 AS cb_0, b.chunk_1 AS cb_1,
+                   b.chunk_2 AS cb_2, b.chunk_3 AS cb_3
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, ({hamming})::BIGINT AS hamming
+        FROM cand WHERE ({hamming}) <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # ensure the parquet twin exists even if the driver evaluates oracles
     # before (or without) running the Spark queries
     _tok.materialize_token_table("sf0.01")
     return {
+        "simhash_near_duplicates": _simhash_oracle_sql(),
         "ell_distinct_tokens_per_source": f"""
             WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
             ex AS (

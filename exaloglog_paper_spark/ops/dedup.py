@@ -153,31 +153,43 @@ def jaccard_verified_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (Spark-native; no SQL oracle — xxhash64 has no DuckDB equivalent)
+# SimHash (md5-nibble bit derivation — engine-portable, so the whole pipeline
+# is reproducible by the DuckDB SQL oracle)
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(words: DataFrame, id_col: str = "doc_id", word_col: str = "word") -> DataFrame:
-    """64-bit SimHash per document from xxhash64(word) sign sums.
+def _simhash_chunk_cols(id_col: str, word_col: str):
+    """Shared SimHash convention: bit b of h(word) is bit (b % 4), LSB-first,
+    of hex nibble (b // 4) of md5(word). Returns the per-chunk signature
+    expressions (4 x 16-bit ints) after the sign-sum aggregation."""
+    nibbles = [
+        F.conv(F.substring(F.md5(F.col(word_col)), i + 1, 1), 16, 10).cast("int")
+        for i in range(16)
+    ]
+    sums = [
+        F.sum(
+            F.shiftright(nibbles[b // 4], b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    chunks = []
+    for c in range(4):
+        expr = None
+        for j in range(16):
+            bit = F.when(F.col(f"s{16 * c + j}") > 0, 1).otherwise(0)
+            piece = F.shiftleft(bit, j)
+            expr = piece if expr is None else expr + piece
+        chunks.append(expr.cast("int").alias(f"chunk_{c}"))
+    return sums, chunks
 
-    Expressed entirely in JVM expressions (no Python): for each bit b,
-    sum(±1) over words, then reassemble the sign vector into a long.
-    """
-    h = words.select(id_col, F.xxhash64(word_col).alias("h"))
-    bit_sums = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{b}")
-            for b in range(64)
-        ]
-    )
-    sim = None
-    for b in range(64):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
-        piece = F.shiftleft(term, b)
-        sim = piece if sim is None else sim.bitwiseXOR(piece)
-    return bit_sums.select(id_col, sim.alias("simhash"))
+
+def simhash_signatures(words: DataFrame, id_col: str = "doc_id", word_col: str = "word") -> DataFrame:
+    """64-bit SimHash per document as 4 x 16-bit chunks from md5-nibble sign
+    sums. Entirely JVM expressions (no Python); bit convention shared with
+    the SQL oracle (see _simhash_chunk_cols)."""
+    sums, chunks = _simhash_chunk_cols(id_col, word_col)
+    bit_sums = words.groupBy(id_col).agg(*sums)
+    return bit_sums.select(id_col, *chunks)
 
 
 def simhash_near_pairs(
@@ -186,14 +198,16 @@ def simhash_near_pairs(
     """Hamming-near pairs via 4x16-bit band blocking (any pair within
     hamming distance <= 3 shares at least one exact 16-bit band)."""
     bands = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-        )
+        F.struct(F.lit(i).alias("band"), F.col(f"chunk_{i}").alias("chunk"))
         for i in range(4)
     ]
-    ex = signatures.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
-        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    ex = signatures.select(
+        id_col, *[f"chunk_{i}" for i in range(4)], F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        id_col,
+        *[f"chunk_{i}" for i in range(4)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
     )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -206,14 +220,17 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.chunk_{i}").alias(f"ca_{i}") for i in range(4)],
+            *[F.col(f"b.chunk_{i}").alias(f"cb_{i}") for i in range(4)],
         )
         .distinct()
     )
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = None
+    for i in range(4):
+        piece = F.bit_count(F.col(f"ca_{i}").bitwiseXOR(F.col(f"cb_{i}")))
+        hamming = piece if hamming is None else hamming + piece
     return (
-        cand.withColumn("hamming", F.bit_count(xor))
+        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

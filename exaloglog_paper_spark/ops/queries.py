@@ -441,8 +441,9 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming <= 3 via 16-bit banding);
-    Spark-native xxhash64 — validated by pytest, rows-only for the driver."""
+    """SimHash near-duplicate pairs (hamming <= 3 via 16-bit banding); bits
+    derived from md5 nibbles so the DuckDB oracle reproduces the pipeline
+    exactly (see dedup._simhash_chunk_cols for the shared bit convention)."""
     from .dedup import simhash_near_pairs, simhash_signatures
 
     return simhash_near_pairs(simhash_signatures(_words(spark, sf_dir)))
