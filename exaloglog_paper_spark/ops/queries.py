@@ -418,7 +418,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4 over unit-noise 64-d vectors ~ 3.2 sigma), exact over the
     embeddings table (at 10^12 scale the LSH/IVF bucketing in
     ops/similarity.py prunes the pair space; semantics identical)."""
-    emb = (
+    emb = _spread(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < 1000)  # bounded sample for the exact pass
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -453,7 +453,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors for query vectors vec_id<3."""
     from .similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 3)
