@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_passthrough_invariant": Q.token_passthrough_invariant,
         "salted_vs_mapside_consistency": Q.salted_vs_mapside_consistency,
         "sketch_rollup_tokens": Q.sketch_rollup_tokens,
+        "sketch_cube_words": Q.sketch_cube_words,
         "sparse_distinct_tokens_per_doc_sample": Q.sparse_distinct_tokens_per_doc_sample,
         "hourly_event_stats": Q.hourly_event_stats,
         "intersection_distinct_words_bound": Q.intersection_distinct_words_bound,
@@ -158,6 +159,19 @@ def oracle_sql() -> dict[str, str]:
                    exact_distinct_tokens, TRUE AS within_bound
             FROM tot JOIN ex
               ON tot.source IS NOT DISTINCT FROM ex.source AND tot.level = ex.level
+        """,
+        "sketch_cube_words": f"""
+            WITH words AS (
+                SELECT source, lang, w AS word
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(w)
+                WHERE w <> ''
+            )
+            SELECT source, lang, grouping(source, lang)::INT AS gid,
+                   count(word) AS total_words,
+                   count(DISTINCT word) AS exact_distinct_words,
+                   TRUE AS within_bound
+            FROM words GROUP BY CUBE(source, lang)
         """,
         "salted_vs_mapside_consistency": f"""
             SELECT count(DISTINCT source)::BIGINT AS sources,

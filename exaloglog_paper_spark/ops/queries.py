@@ -113,6 +113,61 @@ def rollup_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_cube_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-native CUBE(source, lang): all four grouping sets of
+    distinct-word estimates derived by re-merging ONE pass of
+    per-(source, lang) sketches (ops/rollup.sketch_cube) — the raw corpus is
+    never rescanned. Exact counts ride along; the oracle (DuckDB GROUP BY
+    CUBE) recomputes them and asserts every estimate is within 5·RSE."""
+    from .agg import hash64_values
+    from .rollup import sketch_cube
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    words = (
+        _spread(_docs(spark, sf_dir))
+        .select(
+            "source",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .withColumn("h", F.xxhash64("word"))
+    )
+    fine = sketch_agg(words, spec, hash64_values("h"), by=["source", "lang"])
+    cube = with_estimate(sketch_cube(fine, spec, ["source", "lang"]), spec)
+    exact = (
+        words.cube("source", "lang")
+        .agg(
+            F.count("word").alias("total_words"),
+            F.count_distinct("word").alias("exact_distinct_words"),
+            F.grouping_id().cast("int").alias("e_gid"),
+        )
+        .select(
+            F.col("source").alias("e_source"),
+            F.col("lang").alias("e_lang"),
+            "e_gid",
+            "total_words",
+            "exact_distinct_words",
+        )
+    )
+    bound = 5 * spec.theoretical_rse()
+    return cube.join(
+        exact,
+        cube["source"].eqNullSafe(exact["e_source"])
+        & cube["lang"].eqNullSafe(exact["e_lang"])
+        & (cube["gid"] == exact["e_gid"]),
+    ).select(
+        "source",
+        "lang",
+        "gid",
+        "total_words",
+        "exact_distinct_words",
+        (
+            F.abs(F.col("estimate") / F.col("exact_distinct_words") - 1) <= F.lit(bound)
+        ).alias("within_bound"),
+    )
+
+
 def heavy_hitters_words_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global top-20 words by frequency (deterministic tie-break)."""
     counts = _words(spark, sf_dir).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

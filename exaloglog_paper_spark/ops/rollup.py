@@ -87,6 +87,51 @@ def sketch_rollup(
     return result
 
 
+def sketch_grouping_sets(
+    fine: DataFrame, spec: SketchSpec, all_keys: Sequence[str], sets: Sequence[Sequence[str]]
+) -> DataFrame:
+    """GROUPING SETS / CUBE from one finest-level sketch table.
+
+    Every grouping set is derived by re-merging the finest sketch rows —
+    the raw data is scanned exactly once no matter how many sets. Output
+    carries all keys (missing ones null) + ``gid``, bit-compatible with SQL
+    ``GROUPING(k1, k2, …)`` (leftmost key = most significant bit), so
+    results join directly against an exact CUBE oracle.
+    """
+    all_keys = list(all_keys)
+    outs = []
+    for keys in sets:
+        keys = list(keys)
+        lvl = fine if keys == all_keys else rollup_level(fine, spec, keys)
+        gid = sum(1 << (len(all_keys) - 1 - i) for i, k in enumerate(all_keys) if k not in keys)
+        outs.append(
+            lvl.select(
+                *[
+                    (F.col(k) if k in keys else F.lit(None).cast("string")).alias(k)
+                    for k in all_keys
+                ],
+                "sketch",
+                "n_values",
+                F.lit(gid).alias("gid"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def sketch_cube(fine: DataFrame, spec: SketchSpec, all_keys: Sequence[str]) -> DataFrame:
+    """All 2^k grouping sets of ``all_keys`` (SQL CUBE) from one pass."""
+    from itertools import combinations
+
+    all_keys = list(all_keys)
+    sets = [
+        list(c) for r in range(len(all_keys), -1, -1) for c in combinations(all_keys, r)
+    ]
+    return sketch_grouping_sets(fine, spec, all_keys, sets)
+
+
 def estimate_intersection(spec: SketchSpec, state_a: bytes, state_b: bytes) -> float:
     """Inclusion-exclusion distinct-count intersection estimate."""
     a = spec.deserialize(state_a)

@@ -37,6 +37,29 @@ def test_rollup_from_fine_sketches_equals_direct_global(spark):
     assert len(grand) == 1 and bytes(grand[0].sketch) == bytes(direct.sketch)
 
 
+def test_cube_cells_byte_equal_direct_builds(spark):
+    """Every CUBE(source) grouping-set state derived by re-merging fine
+    sketches must equal a direct build over that exact slice (the
+    grouping-sets analogue of the merge-algebra contract)."""
+    from pyspark.sql import functions as F
+
+    from exaloglog_paper_spark.ops.rollup import sketch_cube
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    tdf = tok.token_table(spark, 300, num_partitions=5).cache()
+    fine = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"])
+    cube = sketch_cube(fine, spec, ["source"]).collect()
+    assert {r.gid for r in cube} == {0, 1}
+    for r in cube:
+        if r.gid == 0:
+            sliced = tdf.filter(F.col("source") == r.source)
+        else:
+            sliced = tdf
+        direct = sketch_agg(sliced, spec, token_array_values("tokens")).collect()[0]
+        assert bytes(r.sketch) == bytes(direct.sketch), r.source
+        assert r.n_values == direct.n_values
+
+
 def test_intersection_inclusion_exclusion():
     spec = ExaLogLogSpec(2, 20, 10)
     # |A| = 60k, |B| = 50k, overlap 30k
