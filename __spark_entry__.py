@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_duplicates": Q.jaccard_near_duplicates,
         "embedding_near_duplicates": Q.embedding_near_duplicates,
         "ann_cosine_topk": Q.ann_cosine_topk,
+        "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -436,6 +437,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "ivf_ann_recall_bound": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 5
         """,
         "text_quality_by_source": f"""
             WITH feats AS (

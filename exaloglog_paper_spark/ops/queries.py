@@ -515,6 +515,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def ivf_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16-cell deterministic k-means coarse quantizer, nprobe=12)
+    recall@10 vs exact brute force, per query vector; the oracle asserts
+    recall >= 0.5 for every query (measured min 0.6 on the unit-noise
+    synthetic embeddings — weak cluster structure is the hard case for IVF).
+    This is the 100TB-scale ANN path: the table is partitioned by ivf_cell
+    so probing prunes whole files."""
+    from .similarity import cosine_topk, ivf_cosine_topk, train_ivf_centroids
+
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb.cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = train_ivf_centroids(emb, n_centroids=16)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = ivf_cosine_topk(emb, queries, k=10, centroids=cent, nprobe=12).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"]) & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        (
+            F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)) / F.count(F.lit(1))
+            >= 0.5
+        ).alias("recall_ok")
+    )
+
+
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated text-quality features per source (exact; oracle-checked)."""
     from .textstats import with_text_features
