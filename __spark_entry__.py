@@ -25,6 +25,10 @@ from exaloglog_paper_spark.ops import tokens as _tok  # noqa: E402
 # exact same rows and verify the token-pipeline queries independently.
 TOKENS_PQ = _tok.materialized_table_path("sf0.01")
 
+from exaloglog_paper_spark.ops import multimodal as _mm  # noqa: E402
+
+_MEDIA_PQ = _mm.materialized_media_path()
+
 WORD_CTE = """
 words AS (
     SELECT doc_id, source, w AS word
@@ -69,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_duplicates": Q.embedding_near_duplicates,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
+        "multimodal_media_stats": Q.multimodal_media_stats,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -128,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
     # ensure the parquet twin exists even if the driver evaluates oracles
     # before (or without) running the Spark queries
     _tok.materialize_token_table("sf0.01")
+    _mm.materialize_media_table()
     return {
         "simhash_near_duplicates": _simhash_oracle_sql(),
         "ell_distinct_tokens_per_source": f"""
@@ -441,6 +447,17 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_recall_bound": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 5
+        """,
+        "multimodal_media_stats": f"""
+            SELECT kind,
+                   count(*) AS n_media,
+                   sum(octet_length(blob))::BIGINT AS total_bytes,
+                   sum(CASE WHEN kind = 'video'
+                       THEN (greatest(octet_length(blob) // 64, 1) + 3) // 4
+                       ELSE 0 END)::BIGINT AS frames_sampled,
+                   TRUE AS feat_norm_ok
+            FROM read_parquet('{_MEDIA_PQ}')
+            GROUP BY kind
         """,
         "text_quality_by_source": f"""
             WITH feats AS (

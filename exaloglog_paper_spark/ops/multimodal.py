@@ -26,35 +26,77 @@ MEDIA_SCHEMA = (
 _KINDS = np.array(["image", "audio", "video"])
 
 
+def generate_media_rows(ids: np.ndarray, seed: int = 42) -> pd.DataFrame:
+    """Deterministic media rows for the given row indices (pure function)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    h = splitmix64(ids + U64(seed))
+    kind = _KINDS[(h % U64(3)).astype(np.int64)]
+    sizes = (256 + (h >> U64(8)) % U64(1024)).astype(np.int64)
+    blobs = [
+        splitmix64(np.arange(s // 8 + 1, dtype=np.uint64) + U64(int(i)))
+        .tobytes()[: int(s)]
+        for i, s in zip(ids.tolist(), sizes.tolist())
+    ]
+    return pd.DataFrame(
+        {
+            "media_id": ids.astype(np.int64),
+            "kind": kind,
+            "blob": blobs,
+            "width": ((h % U64(640)) + U64(32)).astype(np.int32),
+            "height": ((h % U64(480)) + U64(32)).astype(np.int32),
+            "sample_rate": np.where(kind == "audio", 16000, 0).astype(np.int32),
+            "duration_ms": ((h % U64(10_000)).astype(np.int32)),
+        }
+    )
+
+
 def synth_media_table(spark: SparkSession, num_rows: int, seed: int = 42) -> DataFrame:
     """Deterministic opaque media blobs + typed metadata (test fixture)."""
 
     def gen(iterator):
         for pdf in iterator:
-            ids = pdf["id"].to_numpy(np.uint64)
-            h = splitmix64(ids + U64(seed))
-            kind = _KINDS[(h % U64(3)).astype(np.int64)]
-            sizes = (256 + (h >> U64(8)) % U64(1024)).astype(np.int64)
-            blobs = [
-                splitmix64(np.arange(s // 8 + 1, dtype=np.uint64) + U64(int(i)))
-                .tobytes()[: int(s)]
-                for i, s in zip(ids.tolist(), sizes.tolist())
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": ids.astype(np.int64),
-                    "kind": kind,
-                    "blob": blobs,
-                    "width": ((h % U64(640)) + U64(32)).astype(np.int32),
-                    "height": ((h % U64(480)) + U64(32)).astype(np.int32),
-                    "sample_rate": np.where(kind == "audio", 16000, 0).astype(np.int32),
-                    "duration_ms": ((h % U64(10_000)).astype(np.int32)),
-                }
-            )
+            yield generate_media_rows(pdf["id"].to_numpy(np.uint64), seed)
 
     return spark.range(0, num_rows, 1, max(spark.sparkContext.defaultParallelism, 4)).mapInPandas(
         gen, schema=MEDIA_SCHEMA
     )
+
+
+MEDIA_ROWS = 2_000
+
+
+def materialized_media_path(num_rows: int = MEDIA_ROWS, seed: int = 42) -> str:
+    return f"/tmp/exaloglog_media_{num_rows}_seed{seed}.parquet"
+
+
+def materialize_media_table(num_rows: int = MEDIA_ROWS, seed: int = 42) -> str:
+    """Parquet twin of the deterministic media table for the DuckDB oracle
+    (same pattern as ops/tokens.materialize_token_table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = materialized_media_path(num_rows, seed)
+    if os.path.exists(path):
+        return path
+    pdf = generate_media_rows(np.arange(num_rows, dtype=np.uint64), seed)
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("blob", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("duration_ms", pa.int32()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def _fake_features(blob: bytes, dim: int) -> np.ndarray:

@@ -515,6 +515,52 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline stats per kind: blob volume, video
+    frame-sampling output size, and unit-norm check of the (stubbed) decoded
+    feature vectors. The media table is deterministic and materialized for
+    the DuckDB oracle, which recomputes counts/bytes/frame-cardinality from
+    the same parquet (frame count follows the byte-window formula of
+    ops/multimodal.sample_frames)."""
+    from .multimodal import (
+        decode_and_featurize,
+        materialize_media_table,
+        sample_frames,
+        synth_media_table,
+    )
+
+    materialize_media_table()
+    media = synth_media_table(spark, 2_000).cache()
+    feats = decode_and_featurize(media, dim=64, fake_codec=True)
+    sq_norm = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm_ok = feats.groupBy("kind").agg(
+        F.min((F.abs(sq_norm - 1.0) < 1e-3).cast("int")).alias("norm_ok_int")
+    )
+    frames = (
+        sample_frames(media)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("video_frames"))
+        .withColumn("kind", F.lit("video"))
+    )
+    base = media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("blob")).alias("total_bytes"),
+    )
+    return (
+        base.join(norm_ok, "kind")
+        .join(frames, "kind", "left")
+        .select(
+            "kind",
+            "n_media",
+            "total_bytes",
+            F.coalesce("video_frames", F.lit(0)).alias("frames_sampled"),
+            (F.col("norm_ok_int") == 1).alias("feat_norm_ok"),
+        )
+    )
+
+
 def ivf_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16-cell deterministic k-means coarse quantizer, nprobe=12)
     recall@10 vs exact brute force, per query vector; the oracle asserts
