@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
         "multimodal_media_stats": Q.multimodal_media_stats,
+        "streaming_batch_parity": Q.streaming_batch_parity,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -447,6 +448,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_recall_bound": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 5
+        """,
+        "streaming_batch_parity": f"""
+            SELECT source, sum(n_tok)::BIGINT AS total_tokens,
+                   TRUE AS stream_equals_batch
+            FROM read_parquet('{TOKENS_PQ}')
+            GROUP BY source
         """,
         "multimodal_media_stats": f"""
             SELECT kind,

@@ -515,6 +515,63 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of the flagship: availableNow micro-batched
+    stream over the materialized token parquet, per-source stateful sketches
+    via applyInPandasWithState (streaming/stateful.py). Emits per source the
+    exact token volume plus a flag that the streamed final estimate equals
+    the batch pipeline's bit-for-bit (same kernel, same states); the oracle
+    recomputes the volumes from the same parquet and asserts the parity."""
+    import uuid
+
+    from ..streaming.stateful import streaming_distinct_sketch
+
+    import os
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    path = tok.materialize_token_table(_sf_name(sf_dir))
+    # the file streaming source requires a directory; hard-link the twin in
+    stream_dir = path + ".dir"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(link):
+        os.link(path, link)
+    name = f"stream_parity_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(tok.TOKEN_TABLE_SCHEMA)
+        .parquet(stream_dir)
+        .selectExpr("source AS key", "tokens")
+        .groupBy("key")
+    )
+    q = (
+        streaming_distinct_sketch(stream, spec)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode memory sink: later rows supersede; dict keeps the last
+    got = {
+        r.key: (r.estimate, r.n_values)
+        for r in spark.sql(f"select key, estimate, n_values from {name}").collect()
+    }
+    batch = with_estimate(
+        sketch_agg(
+            spark.read.parquet(path), spec, token_array_values("tokens"), by=["source"]
+        ),
+        spec,
+    ).collect()
+    rows = [
+        (r.source, int(r.n_values), bool(got.get(r.source) == (r.estimate, r.n_values)))
+        for r in batch
+    ]
+    return spark.createDataFrame(
+        rows, "source string, total_tokens long, stream_equals_batch boolean"
+    )
+
+
 def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline stats per kind: blob volume, video
     frame-sampling output size, and unit-norm check of the (stubbed) decoded
