@@ -98,9 +98,16 @@ def lsh_candidate_pairs(
                 F.md5(F.concat_ws(",", *cols)).alias("bucket"),
             )
         )
-    exploded = signatures.select(
-        id_col, F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # persist the band table: the self-join would otherwise recompute the
+    # full word-explode + md5 signature build for BOTH sides (no
+    # ReusedExchange fires across the a/b aliases). ~50 bytes x 4 bands/doc,
+    # so this is the production shape at 10^12 docs too (signatures are
+    # checkpointed, candidates joined from the checkpoint).
+    exploded = (
+        signatures.select(id_col, F.explode(F.array(*bands)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
