@@ -136,7 +136,13 @@ def jaccard_verified_pairs(
     Joins the (distinct) word sets of both sides on the candidate list only
     — never across the full corpus.
     """
-    ws = words.select(F.col(id_col).alias("id"), F.col(word_col).alias("w")).distinct()
+    # the distinct word sets feed three plan branches (both join sides +
+    # set sizes) — persist once instead of re-exploding the corpus 3x
+    ws = (
+        words.select(F.col(id_col).alias("id"), F.col(word_col).alias("w"))
+        .distinct()
+        .persist()
+    )
     sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ws_b = ws.select(F.col("id").alias("__idb"), F.col("w").alias("__wb"))
     inter = (
@@ -208,13 +214,19 @@ def simhash_near_pairs(
         F.struct(F.lit(i).alias("band"), F.col(f"chunk_{i}").alias("chunk"))
         for i in range(4)
     ]
-    ex = signatures.select(
-        id_col, *[f"chunk_{i}" for i in range(4)], F.explode(F.array(*bands)).alias("bb")
-    ).select(
-        id_col,
-        *[f"chunk_{i}" for i in range(4)],
-        F.col("bb.band").alias("band"),
-        F.col("bb.chunk").alias("chunk"),
+    # persist: the a/b self-join would recompute the 64-aggregate signature
+    # build twice otherwise (same rationale as lsh_candidate_pairs)
+    ex = (
+        signatures.select(
+            id_col, *[f"chunk_{i}" for i in range(4)], F.explode(F.array(*bands)).alias("bb")
+        )
+        .select(
+            id_col,
+            *[f"chunk_{i}" for i in range(4)],
+            F.col("bb.band").alias("band"),
+            F.col("bb.chunk").alias("chunk"),
+        )
+        .persist()
     )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
