@@ -132,6 +132,7 @@ def sketch_cube_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
         .withColumn("h", F.xxhash64("word"))
+        .persist()  # fine sketches + exact cube share one corpus explode
     )
     fine = sketch_agg(words, spec, hash64_values("h"), by=["source", "lang"])
     cube = with_estimate(sketch_cube(fine, spec, ["source", "lang"]), spec)
@@ -183,12 +184,16 @@ def ell_distinct_words_per_source_bound(spark: SparkSession, sf_dir: str) -> Dat
     """ExaLogLog(2,20,10) estimate vs exact per source; oracle asserts the
     estimate satisfies 5·RSE (RSE = 0.0113 at p=10, BASELINE.md)."""
     spec = ExaLogLogSpec(2, 20, 10)
-    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    # sketch and exact sides share one corpus explode
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word")).persist()
     sk = with_estimate(
         sketch_agg(words, spec, hash64_values("h"), by=["source"]),
         spec,
     )
-    exact = exact_distinct_words_per_source(spark, sf_dir)
+    exact = words.groupBy("source").agg(
+        F.count_distinct("word").alias("distinct_words"),
+        F.count("word").alias("total_words"),
+    )
     bound = 5 * spec.theoretical_rse()
     return (
         exact.join(F.broadcast(sk.select("source", "estimate")), "source")
@@ -205,10 +210,10 @@ def ell_distinct_words_per_source_bound(spark: SparkSession, sf_dir: str) -> Dat
 def hll_distinct_words_global_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog(p=12) global distinct-word estimate vs exact + bound."""
     spec = HyperLogLogSpec(p=12)
-    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word")).persist()
     sk = with_estimate(sketch_agg(words, spec, hash64_values("h")), spec)
     bound = 5 * spec.theoretical_rse()
-    exact = _words(spark, sf_dir).agg(F.count_distinct("word").alias("distinct_words"))
+    exact = words.agg(F.count_distinct("word").alias("distinct_words"))
     return exact.crossJoin(F.broadcast(sk.select("estimate"))).select(
         "distinct_words",
         (F.abs(F.col("estimate") / F.col("distinct_words") - 1) <= F.lit(bound)).alias(
@@ -287,7 +292,7 @@ def intersection_distinct_words_bound(spark: SparkSession, sf_dir: str) -> DataF
     from .rollup import estimate_intersection
 
     spec = ExaLogLogSpec(2, 20, 10)
-    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word"))
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word")).persist()
     states = {
         r.source: bytes(r.sketch)
         for r in sketch_agg(
