@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
         "multimodal_media_stats": Q.multimodal_media_stats,
         "streaming_batch_parity": Q.streaming_batch_parity,
+        "checkpoint_resume_invariant": Q.checkpoint_resume_invariant,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -448,6 +449,12 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_recall_bound": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 5
+        """,
+        "checkpoint_resume_invariant": f"""
+            SELECT source, sum(n_tok)::BIGINT AS total_tokens,
+                   TRUE AS resume_byte_identical
+            FROM read_parquet('{TOKENS_PQ}')
+            GROUP BY source
         """,
         "streaming_batch_parity": f"""
             SELECT source, sum(n_tok)::BIGINT AS total_tokens,

@@ -520,6 +520,49 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def checkpoint_resume_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule reliability gate: bucket-granular resume is byte-exact.
+    Builds per-source sketches with lineage checkpoints, deletes one bucket,
+    reruns (only the missing bucket recomputes), and compares final states
+    byte-for-byte. The oracle recomputes per-source token volumes from the
+    parquet twin and asserts the resume flag."""
+    import os
+    import shutil
+    import tempfile
+
+    from .agg import token_array_values
+    from .checkpoints import checkpointed_sketch_agg
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    path = tok.materialize_token_table(_sf_name(sf_dir))
+    ck = tempfile.mkdtemp(prefix="ellck_")
+    try:
+        first = {
+            r.source: (bytes(r.sketch), int(r.n_values))
+            for r in checkpointed_sketch_agg(
+                spark, path, spec, token_array_values("tokens"), ck,
+                by=["source"], num_buckets=4,
+            ).collect()
+        }
+        shutil.rmtree(os.path.join(ck, "bucket=2"))
+        second = {
+            r.source: (bytes(r.sketch), int(r.n_values))
+            for r in checkpointed_sketch_agg(
+                spark, path, spec, token_array_values("tokens"), ck,
+                by=["source"], num_buckets=4,
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    rows = [
+        (src, n, bool(second.get(src) == (state, n)))
+        for src, (state, n) in sorted(first.items())
+    ]
+    return spark.createDataFrame(
+        rows, "source string, total_tokens long, resume_byte_identical boolean"
+    )
+
+
 def streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of the flagship: availableNow micro-batched
     stream over the materialized token parquet, per-source stateful sketches
