@@ -142,6 +142,13 @@ def main() -> None:
 
     timed("dedup_exact_summary", q_dedup)
 
+    def q_jaccard():
+        from exaloglog_paper_spark.ops.queries import jaccard_near_duplicates
+
+        return jaccard_near_duplicates(spark, SF_DIR).count()
+
+    extras["jaccard_pairs"] = timed("jaccard_near_duplicates", q_jaccard)
+
     def q_ann():
         from exaloglog_paper_spark.ops.queries import ann_cosine_topk
 
