@@ -482,19 +482,25 @@ def oracle_sql() -> dict[str, str]:
             ),
             per_doc AS (
                 SELECT source,
-                       len(ws) AS n_words,
-                       round(list_sum(list_transform(ws, w -> len(w)))
-                             / greatest(len(ws), 1), 6) AS avg_word_len,
-                       round(len(list_distinct(ws))
-                             / CAST(greatest(len(ws), 1) AS DOUBLE), 6) AS distinct_ratio
+                       len(ws)::BIGINT AS n_words,
+                       coalesce(list_sum(list_transform(ws, w -> len(w))), 0)::BIGINT
+                           AS word_chars,
+                       len(list_distinct(ws))::BIGINT AS n_distinct_words
                 FROM feats
             )
+            -- hash-stable: every ratio is one division of exact integer sums,
+            -- rounded once (mirrors ops/queries.text_quality_by_source)
             SELECT source,
                    count(*) AS docs,
-                   sum(n_words) AS total_words,
-                   round(avg(n_words), 6) AS avg_words,
-                   round(avg(avg_word_len), 6) AS avg_word_len,
-                   round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+                   sum(n_words)::BIGINT AS total_words,
+                   round(sum(n_words)::BIGINT / CAST(count(*) AS DOUBLE), 6)
+                       AS avg_words,
+                   round(sum(word_chars)::BIGINT
+                         / CAST(greatest(sum(n_words), 1) AS DOUBLE), 6)
+                       AS mean_word_len,
+                   round(sum(n_distinct_words)::BIGINT
+                         / CAST(greatest(sum(n_words), 1) AS DOUBLE), 6)
+                       AS distinct_word_ratio
             FROM per_doc GROUP BY source
         """,
         "lang_id_confusion": """

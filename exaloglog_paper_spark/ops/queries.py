@@ -322,11 +322,41 @@ def intersection_distinct_words_bound(spark: SparkSession, sf_dir: str) -> DataF
 # ---------------------------------------------------------------------------
 
 
+_QUANTILE_GRID = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _quantile_bound_rows(docs, ests, qs=_QUANTILE_GRID, tol=0.05):
+    """Single-pass verification of sketch quantile estimates: ONE ``agg``
+    computes the row count, every ``rank(v <= est_q)`` conditional sum, and
+    all exact percentiles (``percentile(v, array(...))``) together — one
+    Spark job, not 2 + 2·len(qs) like a per-quantile filter/count loop."""
+    agg_cols = [F.count(F.lit(1)).alias("n")]
+    agg_cols += [
+        F.sum((F.col("v") <= float(e)).cast("long")).alias(f"le{i}")
+        for i, e in enumerate(ests)
+    ]
+    agg_cols.append(
+        F.expr(f"percentile(v, array({','.join(str(q) for q in qs)}))").alias("exacts")
+    )
+    row = docs.agg(*agg_cols).collect()[0]
+    n = max(int(row.n), 1)
+    return [
+        (
+            q,
+            round(float(row.exacts[i]), 6),
+            bool(abs(int(row[f"le{i}"]) / n - q) <= tol),
+        )
+        for i, q in enumerate(qs)
+    ]
+
+
 def kll_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL(k=200) quantiles of documents.n_chars: output carries the exact
     type-7 quantiles (oracle-computable) and a flag that every KLL estimate
     lands within 0.05 normalized rank of its target (the published KLL
     rank-error bound at k=200 is ~1.33·a/k << 0.05)."""
+    import numpy as np
+
     from .agg import float_values, sketch_agg
     from .specs import KLLSpec
 
@@ -334,27 +364,15 @@ def kll_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = KLLSpec(k=200)
     row = sketch_agg(docs, spec, float_values("v")).collect()[0]
     sk = spec.deserialize(bytes(row.sketch))
-    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
-    ests = sk.quantile(__import__("numpy").array(qs))
-    n = docs.count()
-    checks = []
-    for q, e in zip(qs, ests):
-        rank = docs.filter(F.col("v") <= float(e)).count() / n
-        checks.append((q, abs(rank - q) <= 0.05))
-    exact = _docs(spark, sf_dir).select(
-        *[
-            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(f"q{int(q * 100)}")
-            for q in qs
-        ]
-    ).collect()[0]
-    data = [
-        (q, float(exact[f"q{int(q * 100)}"]), bool(ok)) for (q, ok), _ in zip(checks, qs)
-    ]
+    ests = sk.quantile(np.array(_QUANTILE_GRID))
+    data = _quantile_bound_rows(docs, ests)
     return spark.createDataFrame(data, "q double, exact_quantile double, within_rank_tol boolean")
 
 
 def tdigest_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest(δ=200) version of the quantile bound check."""
+    import numpy as np
+
     from .agg import float_values, sketch_agg
     from .specs import TDigestSpec
 
@@ -362,20 +380,8 @@ def tdigest_nchars_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFram
     spec = TDigestSpec(delta=200)
     row = sketch_agg(docs, spec, float_values("v")).collect()[0]
     td = spec.deserialize(bytes(row.sketch))
-    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
-    ests = td.quantile(__import__("numpy").array(qs))
-    n = docs.count()
-    checks = [
-        (q, abs(docs.filter(F.col("v") <= float(e)).count() / n - q) <= 0.05)
-        for q, e in zip(qs, ests)
-    ]
-    exact = _docs(spark, sf_dir).select(
-        *[
-            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(f"q{int(q * 100)}")
-            for q in qs
-        ]
-    ).collect()[0]
-    data = [(q, float(exact[f"q{int(q * 100)}"]), bool(ok)) for q, ok in checks]
+    ests = td.quantile(np.array(_QUANTILE_GRID))
+    data = _quantile_bound_rows(docs, ests)
     return spark.createDataFrame(data, "q double, exact_quantile double, within_rank_tol boolean")
 
 
@@ -410,10 +416,16 @@ def cms_heavy_hitters_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_membership_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter over src0 documents' digests: zero false negatives
-    (guaranteed) + false-positive rate below 3x the (1-e^{-kn/m})^k formula."""
+    (guaranteed) + false-positive rate below 3x the (1-e^{-kn/m})^k formula.
+
+    Scale design: the filter BUILD is the distributed ``sketch_agg`` path;
+    the VERIFICATION broadcasts the serialized filter bytes (KB-sized) and
+    checks membership inside ``mapInArrow``, emitting only per-batch count
+    triples (members, false_negs, fps) that a single ``agg`` sums — no data
+    column ever reaches the driver, so this runs unchanged at 10^12 docs.
+    """
     from .agg import hash64_values, sketch_agg
     from .specs import BloomSpec
-    import numpy as np
 
     docs = _docs(spark, sf_dir)
     members = docs.filter(F.col("source") == "src0").select(
@@ -421,17 +433,47 @@ def bloom_membership_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spec = BloomSpec(num_bits=1 << 18, num_hashes=7)
     row = sketch_agg(members, spec, hash64_values("h")).collect()[0]
-    bf = spec.deserialize(bytes(row.sketch))
-    member_h = np.array([r.h for r in members.collect()], dtype=np.int64).view(np.uint64)
-    non_members = np.array(
-        [r.h for r in docs.filter(F.col("source") != "src0").select(F.xxhash64("text").alias("h")).collect()],
-        dtype=np.int64,
-    ).view(np.uint64)
-    no_false_neg = bool(bf.contains_hashes(member_h).all()) if len(member_h) else True
-    fpr = float(bf.contains_hashes(non_members).mean()) if len(non_members) else 0.0
-    fpr_ok = fpr <= 3 * spec.cfg.expected_fpr(max(len(member_h), 1)) + 0.001
+    filter_bytes = bytes(row.sketch)
+    bc = spark.sparkContext.broadcast(filter_bytes)
+
+    all_h = docs.select(
+        F.xxhash64("text").alias("h"),
+        (F.col("source") == "src0").alias("is_member"),
+    )
+
+    def check(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bf = spec.deserialize(bc.value)
+        for b in batches:
+            h = b.column("h").to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            is_m = b.column("is_member").to_numpy(zero_copy_only=False).astype(bool)
+            hit = bf.contains_hashes(h) if len(h) else np.zeros(0, dtype=bool)
+            yield pa.record_batch(
+                {
+                    "n_members": pa.array([int(is_m.sum())], pa.int64()),
+                    "n_false_neg": pa.array([int((is_m & ~hit).sum())], pa.int64()),
+                    "n_fp": pa.array([int((~is_m & hit).sum())], pa.int64()),
+                    "n_non_members": pa.array([int((~is_m).sum())], pa.int64()),
+                }
+            )
+
+    counts = all_h.mapInArrow(
+        check,
+        schema="n_members long, n_false_neg long, n_fp long, n_non_members long",
+    ).agg(
+        F.sum("n_members").alias("m"),
+        F.sum("n_false_neg").alias("fn"),
+        F.sum("n_fp").alias("fp"),
+        F.sum("n_non_members").alias("nm"),
+    ).collect()[0]
+    n_members = int(counts.m or 0)
+    no_false_neg = int(counts.fn or 0) == 0
+    fpr = (int(counts.fp or 0) / counts.nm) if counts.nm else 0.0
+    fpr_ok = fpr <= 3 * spec.cfg.expected_fpr(max(n_members, 1)) + 0.001
     return spark.createDataFrame(
-        [(int(len(member_h)), no_false_neg, bool(fpr_ok))],
+        [(n_members, bool(no_false_neg), bool(fpr_ok))],
         "members long, no_false_negatives boolean, fpr_within_bound boolean",
     )
 
@@ -699,16 +741,27 @@ def ivf_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregated text-quality features per source (exact; oracle-checked)."""
+    """Aggregated text-quality features per source (exact; oracle-checked).
+
+    Hash-stable by construction: every ratio is ONE division of exact
+    integer sums (order-independent in any engine), rounded once — never
+    avg() over per-doc doubles, whose partial-aggregation order is
+    partition-nondeterministic in the last ulp.
+    """
     from .textstats import with_text_features
 
     feats = with_text_features(_docs(spark, sf_dir))
+    tw = F.sum("n_words").cast("long")
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum("n_words").alias("total_words"),
-        F.round(F.avg("n_words"), 6).alias("avg_words"),
-        F.round(F.avg("avg_word_len"), 6).alias("avg_word_len"),
-        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        tw.alias("total_words"),
+        F.round(tw / F.count(F.lit(1)), 6).alias("avg_words"),
+        F.round(
+            F.sum("word_chars").cast("long") / F.greatest(tw, F.lit(1)), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.sum("n_distinct_words").cast("long") / F.greatest(tw, F.lit(1)), 6
+        ).alias("distinct_word_ratio"),
     )
 
 

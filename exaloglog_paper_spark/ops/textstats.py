@@ -22,9 +22,14 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*[F.lit(s) for s in EN_STOPWORDS]))
     )
+    word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     out = (
         df.withColumn("n_words", nw)
         .withColumn("n_chars_text", F.length(text_col))
+        # exact integer features: hash-stable inputs for corpus-level ratios
+        # (sums of longs are order-independent; avg() of doubles is not)
+        .withColumn("word_chars", word_chars.cast("long"))
+        .withColumn("n_distinct_words", distinct_w.cast("long"))
         .withColumn(
             "avg_word_len",
             F.round(

@@ -97,3 +97,46 @@ def test_dedup_plans_have_partial_aggregation(spark, query_name):
     df = getattr(Q, query_name)(spark, SF_DIR)
     plan = _plan(df)
     assert "partial_" in plan, plan
+
+
+def test_quantile_bound_checks_are_single_pass(spark):
+    """The KLL/t-digest bound verification must run ONE verification job
+    (count + all rank checks + exact percentiles in a single agg), not a
+    filter().count() per quantile (VERDICT r1 item 3)."""
+    from pyspark.sql import functions as F
+
+    tracker = spark.sparkContext.statusTracker()
+    docs = Q._docs(spark, SF_DIR).select(F.col("n_chars").cast("double").alias("v"))
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    Q._quantile_bound_rows(docs, [100.0, 200.0, 300.0, 400.0, 500.0])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # one agg == one job (+1 AQE final-stage materialization); the old
+    # per-quantile filter().count() loop needed ~12
+    assert after - before <= 2, f"too many verification jobs: {after - before}"
+    before = after
+    Q.kll_nchars_quantiles_bound(spark, SF_DIR)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 6, f"too many total jobs: {after - before}"
+
+
+def test_bloom_verification_never_collects_data_columns(spark):
+    """Bloom bound check must aggregate (members, false_negs, fps)
+    distributed — the only driver-side results are KB-sized sketch rows and
+    the final 4-long aggregate (VERDICT r1 item 2)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+    sizes = []
+
+    def spying_collect(self):
+        rows = real_collect(self)
+        sizes.append((len(rows), len(self.columns)))
+        return rows
+
+    with mock.patch.object(DataFrame, "collect", spying_collect):
+        Q.bloom_membership_bound(spark, SF_DIR)
+    # every collect returns a handful of rows (sketch partials / final agg),
+    # never a per-document hash column
+    assert all(n_rows <= 16 for n_rows, _ in sizes), sizes
