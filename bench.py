@@ -62,6 +62,22 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def timed_min(name: str, fn, reps: int = 3, clear_cache: bool = False):
+        """min-of-N timing: the box is shared with co-tenants, so a single
+        run is load noise, not signal — round-over-round deltas compare
+        minima. clear_cache drops internally persisted intermediates between
+        reps so every rep re-persists (same work measured each time)."""
+        best, out = None, None
+        for i in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            el = round(time.monotonic() - t0, 3)
+            best = el if best is None else min(best, el)
+            if clear_cache:
+                spark.catalog.clearCache()
+        timings[name] = best
+        return out
+
     spec = ExaLogLogSpec(2, 20, 10)
     tokens_path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
 
@@ -81,17 +97,10 @@ def main() -> None:
         extras["distinct_tokens_est"] = round(float(row.estimate), 1)
         return row
 
-    # min of 3 runs: the sandbox shares cores with other tenants
-    timed("ell_global_build", q_global_build)
-    for _ in range(2):
-        t0 = time.monotonic()
-        q_global_build()
-        timings["ell_global_build"] = min(
-            timings["ell_global_build"], round(time.monotonic() - t0, 3)
-        )
+    timed_min("ell_global_build", q_global_build)
     extras["tokens_per_sec"] = round(extras["total_tokens"] / timings["ell_global_build"], 1)
 
-    timed(
+    timed_min(
         "ell_by_source",
         lambda: scan_sketch_agg(
             spark, tokens_path, spec, token_array_values("tokens"), by=["source"]
@@ -133,7 +142,7 @@ def main() -> None:
 
         return minhash_lsh_candidates(spark, SF_DIR).count()
 
-    extras["minhash_pairs"] = timed("minhash_lsh_candidates", q_minhash)
+    extras["minhash_pairs"] = timed_min("minhash_lsh_candidates", q_minhash, clear_cache=True)
 
     def q_dedup():
         from exaloglog_paper_spark.ops.queries import dedup_exact_summary
@@ -147,14 +156,14 @@ def main() -> None:
 
         return jaccard_near_duplicates(spark, SF_DIR).count()
 
-    extras["jaccard_pairs"] = timed("jaccard_near_duplicates", q_jaccard)
+    extras["jaccard_pairs"] = timed_min("jaccard_near_duplicates", q_jaccard, clear_cache=True)
 
     def q_ann():
         from exaloglog_paper_spark.ops.queries import ann_cosine_topk
 
         return ann_cosine_topk(spark, SF_DIR).collect()
 
-    timed("ann_cosine_topk", q_ann)
+    timed_min("ann_cosine_topk", q_ann)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -55,7 +55,7 @@ def simulate_errors(
 
     def run(iterator):
         for pdf in iterator:
-            rows_rung, rows_err = [], []
+            rows_rung, rows_err, rows_iters = [], [], []
             for cycle in pdf["id"].tolist():
                 rng = np.random.default_rng((seed << 20) ^ cycle)
                 # per-cycle hash seed must be decorrelated: consecutive-int
@@ -68,23 +68,29 @@ def simulate_errors(
                 inserted = 0
                 transitions = None
                 for n in ladder:
+                    st = {}
                     if n <= exact_limit and float(n).is_integer():
                         todo = int(n) - inserted
                         if todo > 0:
                             h = splitmix64_stream(cycle_seed, todo, offset=inserted)
                             sk.add_hashes(h)
                             inserted = int(n)
-                        est = sk.estimate()
+                        est = sk.estimate(stats=st)
                     else:
                         if transitions is None:
                             transitions = generate_transitions(t, d, p, rng)
-                        est = state_at_cardinality(transitions, n, t, d, p).estimate()
+                        est = state_at_cardinality(transitions, n, t, d, p).estimate(stats=st)
                     rows_rung.append(float(n))
                     rows_err.append(est / n - 1.0)
-            yield pd.DataFrame({"rung": rows_rung, "err": rows_err})
+                    rows_iters.append(st.get("iterations", 0))
+            yield pd.DataFrame(
+                {"rung": rows_rung, "err": rows_err, "iters": rows_iters}
+            )
 
     par = max(spark.sparkContext.defaultParallelism, 4)
-    return spark.range(0, num_cycles, 1, par).mapInPandas(run, "rung double, err double")
+    return spark.range(0, num_cycles, 1, par).mapInPandas(
+        run, "rung double, err double, iters long"
+    )
 
 
 def error_summary(errors: DataFrame, t: int, d: int, p: int) -> DataFrame:
@@ -96,6 +102,11 @@ def error_summary(errors: DataFrame, t: int, d: int, p: int) -> DataFrame:
             F.count(F.lit(1)).alias("cycles"),
             F.avg("err").alias("bias"),
             F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+            # solver-health signal (reference CSV cols 8-10,
+            # ExaLogLogEstimationErrorSimulation.java:153-159,187-197)
+            F.min("iters").alias("min_iterations"),
+            F.avg("iters").alias("mean_iterations"),
+            F.max("iters").alias("max_iterations"),
         )
         .withColumn("rse_theory", F.lit(rse))
         .withColumn("rmse_over_rse", F.col("rmse") / F.lit(rse))
@@ -111,7 +122,17 @@ def write_reference_style_csv(summary_pdf: pd.DataFrame, path: str, t: int, d: i
             f"sketch_name=ExaLogLog; t={t}; d={d}; p={p}; "
             f"theoretical_rse={theoretical_rse_ml(t, d, p)}\n"
         )
-        cols = ["rung", "cycles", "bias", "rmse", "rse_theory", "rmse_over_rse"]
+        cols = [
+            "rung",
+            "cycles",
+            "bias",
+            "rmse",
+            "rse_theory",
+            "rmse_over_rse",
+            "min_iterations",
+            "mean_iterations",
+            "max_iterations",
+        ]
         f.write(";".join(cols) + "\n")
         for _, r in summary_pdf.iterrows():
             f.write(";".join(repr(float(r[c])) for c in cols) + "\n")

@@ -100,6 +100,21 @@ class ExaLogLogSpec(SketchSpec):
     def finalize(self, state: ExaLogLog) -> float:
         return state.estimate()
 
+    def finalize_batch(self, states) -> np.ndarray:
+        """Batched estimates straight from serialized states: one
+        unpackbits + one contribute + one vectorized ML solve for the whole
+        batch instead of a per-row deserialize + estimate — the estimate
+        stage of many-group rollups/cubes (10^6+ groups at 100 TB)."""
+        from ..sketchlib.bitops import unpack_registers_batch
+        from ..sketchlib.exaloglog import estimate_batch
+
+        cfg = self.cfg
+        arr = np.frombuffer(b"".join(bytes(s) for s in states), dtype=np.uint8)
+        regs2d = unpack_registers_batch(
+            arr.reshape(len(states), -1), cfg.register_bits, cfg.m
+        )
+        return estimate_batch(regs2d, cfg.t, cfg.d, cfg.p)
+
     def theoretical_rse(self) -> float:
         return self.cfg.theoretical_rse_ml()
 
@@ -115,6 +130,10 @@ class SparseExaLogLogSpec(ExaLogLogSpec):
 
     Serialized form: 1-byte tag (0=sparse, 1=dense) + payload.
     """
+
+    # sparse states are variable-length (tag + token array): no fixed-width
+    # batch path — fall back to the per-row finalize
+    finalize_batch = None
 
     def __init__(self, t: int = 2, d: int = 20, p: int = 10, max_sparse: int | None = None):
         super().__init__(t, d, p)
@@ -325,13 +344,25 @@ def _build_partials_batches(batches, spec: "SketchSpec", extractor: "Extractor",
             if hasattr(col, "combine_chunks"):
                 col = col.combine_chunks()
             enc = col.dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = enc.indices
             uniques = enc.dictionary.to_pylist()
+            if idx.null_count:
+                # null key rows get null dictionary indices (NaN -> INT64_MIN
+                # under astype); group them under an explicit None key to
+                # match Spark/SQL groupBy semantics (null is a group)
+                idx = idx.fill_null(len(uniques))
+                uniques = uniques + [None]
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
             key_of = lambda c: (uniques[c],)  # noqa: E731
         else:
             pdf = pa.Table.from_batches([batch]).select(by).to_pandas()
+            # normalize NaN -> None so null keys group together (NaN != NaN
+            # would otherwise split a null group per row)
+            key_cols = [
+                pdf[c].astype(object).where(pd.notna(pdf[c]), None) for c in by
+            ]
             codes, uniq = pd.factorize(
-                pd.Series(list(zip(*(pdf[c] for c in by)))), sort=False
+                pd.Series(list(zip(*key_cols))), sort=False
             )
             uniques = list(uniq)
             key_of = lambda c: tuple(uniques[c])  # noqa: E731
@@ -515,10 +546,18 @@ def sketch_agg_salted(
 def with_estimate(
     df: DataFrame, spec: SketchSpec, sketch_col: str = "sketch", out: str = "estimate"
 ) -> DataFrame:
-    """Attach the sketch's scalar result as a double column (Arrow UDF)."""
+    """Attach the sketch's scalar result as a double column (Arrow UDF).
+
+    Specs exposing ``finalize_batch`` (dense ExaLogLog) estimate the whole
+    Arrow batch in one vectorized shot; others fall back to per-row
+    deserialize + finalize.
+    """
+    batch_fn = getattr(spec, "finalize_batch", None)
 
     @F.pandas_udf(DoubleType())
     def est(s: pd.Series) -> pd.Series:
+        if batch_fn is not None and len(s):
+            return pd.Series(np.asarray(batch_fn(list(s))), index=s.index)
         return s.map(lambda data: float(spec.finalize(spec.deserialize(bytes(data)))))
 
     return df.withColumn(out, est(F.col(sketch_col)))

@@ -6,24 +6,59 @@
   as *hex-string* minima of md5(i || '|' || shingle) so every step is
   bit-identical across engines (no float, no engine-specific 64-bit hash) —
   the whole pipeline is therefore SQL-oracle-checkable.
-- SimHash (64-bit, xxhash64-based) with banded hamming candidate search —
-  Spark-native (xxhash64 has no DuckDB twin; covered by pytest instead).
+- SimHash (64-bit) with banded hamming candidate search. Bits are derived
+  from md5 nibbles (bit b = bit (b % 4), LSB-first, of hex nibble (b // 4))
+  so the signature — and therefore the whole pipeline — is bit-identical in
+  DuckDB and fully SQL-oracle-checked (see _simhash_chunk_cols).
 - embedding near-duplicates: exact cosine threshold pairs (see
   ops/similarity.py for the ANN machinery).
 
 Scale notes: LSH candidate generation is a self-equi-join on (band, bucket)
-— Spark shuffles both sides on the bucket key and AQE handles bucket skew;
-no pairwise cross product ever materializes. Signatures are tiny (8 hex
-strings/doc), so the join input is ~100 bytes/doc at 10^12 docs.
+— no pairwise cross product across the corpus ever materializes, and
+signatures are tiny (8 hex strings/doc), so the join input is ~100
+bytes/doc at 10^12 docs. The residual quadratic risk is a single DEGENERATE
+bucket (|B| docs sharing a band hash emit |B|²/2 join-output pairs — AQE
+cannot fix join *output* size), so both band joins cap bucket size
+(``max_bucket_size``, default 2000): oversized buckets are dropped and
+counted. Docs in a dropped bucket still pair through their other bands —
+the standard LSH recall/robustness trade.
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2
+MAX_BUCKET_SIZE = 2000
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_bucket_size(
+    exploded: DataFrame, max_bucket_size: int | None, keys=("band", "bucket")
+) -> DataFrame:
+    """Drop band buckets larger than ``max_bucket_size`` (quadratic-blowup
+    guard for the banded self-joins). One window count over the join key —
+    the same partitioning the self-join needs anyway. Logs how many rows
+    sat in dropped buckets (an extra count on the persisted band table)."""
+    if max_bucket_size is None:
+        return exploded
+    w = Window.partitionBy(*keys)
+    sized = exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    kept = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    if logger.isEnabledFor(logging.INFO):
+        n_dropped = sized.filter(F.col("__bsz") > max_bucket_size).count()
+        if n_dropped:
+            logger.info(
+                "bucket-size cap %d dropped %d band rows (oversized buckets)",
+                max_bucket_size,
+                n_dropped,
+            )
+    return kept
 
 
 def with_content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -82,11 +117,15 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = NUM_MINHASHES,
     band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing >= 1 LSH band bucket.
 
     Bands of ``band_size`` minhashes are hashed to a bucket; a self-join on
-    (band, bucket) yields candidates with id_a < id_b (distinct).
+    (band, bucket) yields candidates with id_a < id_b (distinct). Buckets
+    larger than ``max_bucket_size`` are dropped before the join (see
+    _cap_bucket_size) — the |B|² output of one degenerate bucket is the one
+    quadratic failure mode of banded LSH at 10^12 docs.
     """
     num_bands = num_hashes // band_size
     bands = []
@@ -108,6 +147,7 @@ def lsh_candidate_pairs(
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist()
     )
+    exploded = _cap_bucket_size(exploded, max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -206,10 +246,14 @@ def simhash_signatures(words: DataFrame, id_col: str = "doc_id", word_col: str =
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Hamming-near pairs via 4x16-bit band blocking (any pair within
-    hamming distance <= 3 shares at least one exact 16-bit band)."""
+    hamming distance <= 3 shares at least one exact 16-bit band). Oversized
+    band buckets are dropped before the self-join (see _cap_bucket_size)."""
     bands = [
         F.struct(F.lit(i).alias("band"), F.col(f"chunk_{i}").alias("chunk"))
         for i in range(4)
@@ -228,6 +272,7 @@ def simhash_near_pairs(
         )
         .persist()
     )
+    ex = _cap_bucket_size(ex, max_bucket_size, keys=("band", "chunk"))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
         a.join(

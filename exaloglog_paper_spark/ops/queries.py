@@ -895,7 +895,7 @@ def sketch_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sparse_distinct_tokens_per_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse-mode hybrid sketch on a small sample: per-row sketch-free
-    token estimates vs exact per-row distinct counts (all within 1%)."""
+    token estimates vs exact per-row distinct counts (all within 2%)."""
     from .functions import token_stream_estimate
 
     tok.materialize_token_table(_sf_name(sf_dir))
@@ -919,7 +919,7 @@ def sparse_distinct_tokens_per_doc_sample(spark: SparkSession, sf_dir: str) -> D
     return ests.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum((F.abs(F.col("est") / F.col("exact_distinct") - 1) > 0.02).cast("long")).alias(
-            "rows_outside_1pct"
+            "rows_outside_2pct"
         ),
     )
 

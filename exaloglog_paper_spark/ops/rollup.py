@@ -56,6 +56,15 @@ def rollup_level(
     )
 
 
+def _key_types(fine: DataFrame, all_keys: Sequence[str]) -> dict:
+    """Null literals for missing grouping keys must carry the key column's
+    ACTUAL type — a hard-coded string cast would coerce non-string key
+    columns to string across the unionByName, silently changing the output
+    schema and breaking typed joins against exact oracles."""
+    by_name = {f.name: f.dataType for f in fine.schema.fields}
+    return {k: by_name[k] for k in all_keys}
+
+
 def sketch_rollup(
     fine: DataFrame, spec: SketchSpec, hierarchy: Sequence[Sequence[str]]
 ) -> DataFrame:
@@ -66,6 +75,7 @@ def sketch_rollup(
     keys (missing keys as null) + sketch + n_values + ``level``.
     """
     all_keys = list(hierarchy[0])
+    key_types = _key_types(fine, all_keys)
     outs = []
     level_df = fine
     for i, keys in enumerate(hierarchy):
@@ -73,7 +83,7 @@ def sketch_rollup(
             level_df = rollup_level(level_df, spec, keys)
         out = level_df.select(
             *[
-                (F.col(k) if k in keys else F.lit(None).cast("string")).alias(k)
+                (F.col(k) if k in keys else F.lit(None).cast(key_types[k])).alias(k)
                 for k in all_keys
             ],
             "sketch",
@@ -99,6 +109,7 @@ def sketch_grouping_sets(
     results join directly against an exact CUBE oracle.
     """
     all_keys = list(all_keys)
+    key_types = _key_types(fine, all_keys)
     outs = []
     for keys in sets:
         keys = list(keys)
@@ -107,7 +118,7 @@ def sketch_grouping_sets(
         outs.append(
             lvl.select(
                 *[
-                    (F.col(k) if k in keys else F.lit(None).cast("string")).alias(k)
+                    (F.col(k) if k in keys else F.lit(None).cast(key_types[k])).alias(k)
                     for k in all_keys
                 ],
                 "sketch",

@@ -125,9 +125,17 @@ def train_ivf_centroids(
     Seeded sample -> driver-side Lloyd iterations (centroid count is tiny;
     the *assignment* of the full table stays distributed). Returns
     (n_centroids, dim) float64, L2-normalized.
+
+    Sampling is ``df.sample(fraction, seed)`` — a cheap per-row Bernoulli
+    mask at scan time (count(*) over parquet is metadata-only) — never a
+    full-table xxhash64 + top-K heap. The deterministic hash-order tiebreak
+    runs only over the ~1.2x oversampled subset.
     """
+    total = embeddings.count()
+    frac = min(1.0, (sample * 1.2) / max(total, 1))
     pdf = (
         embeddings.select(vec_col)
+        .sample(fraction=frac, seed=seed)
         .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
         .limit(sample)
         .toPandas()

@@ -141,10 +141,46 @@ def pack_registers(regs: np.ndarray, width: int) -> bytes:
 
 
 def unpack_registers(data: bytes, width: int, m: int) -> np.ndarray:
-    """Inverse of :func:`pack_registers`."""
+    """Inverse of :func:`pack_registers`.
+
+    width <= 57 takes the windowed-gather fast path (8-byte little-endian
+    window per register, shift + mask) — ``wrap`` sits on the merge hot path
+    of every distributed aggregation, so no per-bit expansion here."""
     raw = np.frombuffer(data, dtype=np.uint8)
+    if width <= 57:
+        buf = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
+        bitpos = np.arange(m, dtype=np.int64) * width
+        byte_off = bitpos >> 3
+        bit_rem = (bitpos & 7).astype(np.uint64)
+        windows = np.ascontiguousarray(buf[byte_off[:, None] + np.arange(8)])
+        w64 = windows.reshape(m * 8).view(np.uint64)  # little-endian platform
+        return (w64 >> bit_rem) & ((ONE << U64(width)) - ONE)
     bits = np.unpackbits(raw, count=width * m, bitorder="little")
     weights = ONE << np.arange(width, dtype=np.uint64)
     return (bits.reshape(m, width).astype(np.uint64) * weights).sum(
         axis=1, dtype=np.uint64
     )
+
+
+def unpack_registers_batch(data2d: "np.ndarray", width: int, m: int) -> "np.ndarray":
+    """Batched :func:`unpack_registers`: (B, nbytes) uint8 -> (B, m) uint64.
+
+    Fast path (width <= 57): gather the 8-byte little-endian window covering
+    each register and shift/mask — no per-bit expansion, ~100x faster than
+    unpackbits at ELL register widths. This is the deserialization stage of
+    batched estimation over many group states.
+    """
+    if width > 57:  # a 64-bit window can't span bit_rem + width bits
+        return np.stack(
+            [unpack_registers(row.tobytes(), width, m) for row in data2d]
+        )
+    B = len(data2d)
+    buf = np.concatenate([data2d, np.zeros((B, 8), dtype=np.uint8)], axis=1)
+    bitpos = np.arange(m, dtype=np.int64) * width
+    byte_off = bitpos >> 3
+    bit_rem = (bitpos & 7).astype(np.uint64)
+    windows = np.ascontiguousarray(
+        buf[:, byte_off[:, None] + np.arange(8)]
+    )  # (B, m, 8) uint8
+    w64 = windows.reshape(B, m * 8).view(np.uint64)  # little-endian platform
+    return (w64 >> bit_rem) & ((ONE << U64(width)) - ONE)

@@ -25,6 +25,7 @@ which makes insertion idempotent/commutative and the merge exact.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -45,7 +46,7 @@ from .bitops import (
     unsigned_to_double,
 )
 from .constants import ml_bias_correction, theoretical_rse_ml
-from .mlsolver import solve_maximum_likelihood_equation
+from .mlsolver import solve_maximum_likelihood_equation, solve_ml_equation_batch
 
 V_MAX = 26  # 32-bit tokens: V + 6 == 32  (DistinctCountUtil.java:144)
 V_MIN = 1
@@ -321,6 +322,129 @@ def _contribute_vec(regs: np.ndarray, t: int, d: int, p: int, want_b: bool):
     return agg, b
 
 
+def contribute_vec_batch(regs2d: np.ndarray, t: int, d: int, p: int):
+    """Batched :func:`contribute_vec` over a (B, m) register matrix.
+
+    Returns ``(agg, b)`` with ``agg`` uint64 (B,) mod-2^64 row sums and
+    ``b`` int64 (B, 64) row histograms. Row-for-row identical to calling
+    contribute_vec per sketch (pinned in tests); the flat nonzero-register
+    layout + ``np.add.at`` row segmentation keeps every op vectorized, so a
+    batch of thousands of group states costs about as much as a handful of
+    scalar calls — the estimate stage for many-group rollups/cubes.
+    """
+    with np.errstate(over="ignore"):  # deliberate mod-2^64 wraparound
+        return _contribute_vec_batch(regs2d, t, d, p)
+
+
+def _contribute_vec_batch(regs2d: np.ndarray, t: int, d: int, p: int):
+    # Layout: one flat array of all nonzero registers plus a sorted row-id
+    # vector. Per-element work is plain vector ops; row aggregation happens
+    # ONCE at the end (uint64 add.reduceat for agg, one bincount for b) —
+    # np.add.at per loop iteration is ~50x slower and was the bottleneck.
+    B, m = regs2d.shape
+    q = 63 - t - p
+    b = np.zeros((B, 64), dtype=np.int64)
+
+    u = regs2d >> U64(d)
+    zero_mask = u == ZERO
+    zero_counts = zero_mask.sum(axis=1).astype(np.uint64)
+    agg = U64((1 << (64 - p)) & 0xFFFFFFFFFFFFFFFF) * zero_counts
+
+    rows, cols = np.nonzero(~zero_mask)  # rows sorted (row-major)
+    if len(rows) == 0:
+        return agg, b
+    r = regs2d[rows, cols]
+    un = u[rows, cols]
+    j = (un - ONE) >> U64(t)
+    i0 = np.minimum(U64(q), j)
+    num_bits = (un - ONE) - (i0 << U64(t))
+    dd = U64(d)
+    L = np.where(num_bits >= dd, ZERO, dd - np.minimum(num_bits, dd))
+    mask = lshift_clamped(np.full_like(r, MASK64), L)
+    mask2 = mask & ((ONE << dd) - ONE)
+    a_elem = ((((i0 + U64(2)) << U64(t)) - un) + popcount64(~r & mask2)) << (U64(q) - i0)
+    b_keys = [rows * 64 + i0.astype(np.int64)]
+    b_vals = [(ONE + popcount64(r & mask2)).astype(np.int64)]
+
+    i_cur = i0.astype(np.int64)
+    if t <= 5:
+        shift = U64(1 << t)
+        lo = np.where(L >= shift, L - shift, ZERO)
+        wmask = lshift_clamped(np.full_like(r, MASK64), lo) ^ mask
+        while True:
+            active = (i_cur > 0) & (wmask != ZERO)
+            if not active.any():
+                break
+            i_cur = np.where(active, i_cur - 1, i_cur)
+            qi = (q - i_cur).astype(np.uint64)
+            a_elem = a_elem + np.where(active, popcount64(wmask & ~r) << qi, ZERO)
+            cnt = popcount64(wmask & r).astype(np.int64)
+            act = active & (cnt > 0)
+            if act.any():
+                b_keys.append(rows[act] * 64 + i_cur[act])
+                b_vals.append(cnt[act])
+            wmask = np.where(active, wmask >> shift, wmask)
+    else:  # t > 5: single residual window (ExaLogLog.java:575-580)
+        active = i_cur > 0
+        if active.any():
+            i_cur = np.where(active, i_cur - 1, i_cur)
+            qi = (q - i_cur).astype(np.uint64)
+            wm = ~mask
+            a_elem = a_elem + np.where(active, popcount64(wm & ~r) << qi, ZERO)
+            cnt = popcount64(wm & r).astype(np.int64)
+            act = active & (cnt > 0)
+            if act.any():
+                b_keys.append(rows[act] * 64 + i_cur[act])
+                b_vals.append(cnt[act])
+
+    # one segmented reduction per output: rows are sorted, so agg sums are
+    # add.reduceat over row boundaries (uint64 dtype preserved -> exact
+    # mod-2^64 wraparound); b cells sum exactly in one float64 bincount
+    # (counts are tiny integers, far below 2^53)
+    counts = (m - zero_counts).astype(np.int64)
+    nonempty = counts > 0
+    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts[nonempty][:-1], out=starts[1:])
+    agg[nonempty] = agg[nonempty] + np.add.reduceat(a_elem, starts)
+    key = np.concatenate(b_keys)
+    val = np.concatenate(b_vals)
+    b = (
+        np.bincount(key, weights=val, minlength=B * 64)
+        .astype(np.int64)
+        .reshape(B, 64)
+    )
+    return agg, b
+
+
+def estimate_from_coefficients(
+    agg: np.ndarray, b: np.ndarray, t: int, d: int, p: int
+) -> np.ndarray:
+    """Batched final estimation step shared by :func:`estimate_batch` and
+    the exhaustive enumeration — mirrors ExaLogLog.estimate row-wise,
+    including the agg == 0 saturation edge (0 or +inf by b[63-t-p])."""
+    m = 1 << p
+    # exact uint64 -> correctly-rounded float64 via 32-bit halves (uint64
+    # astype float64 is a scalar loop AND this keeps Java-double rounding)
+    af = (agg >> U64(32)).astype(np.uint32).astype(np.float64) * 4294967296.0 + (
+        agg & U64(0xFFFFFFFF)
+    ).astype(np.uint32).astype(np.float64)
+    factor = float(m << (t + 1))
+    a = af * math.ldexp(1.0, -64) * factor
+    x = solve_ml_equation_batch(a, b, 63 - p - t)
+    est = factor * x / (1.0 + ml_bias_correction(t, d) / m)
+    zero_rows = agg == ZERO
+    if zero_rows.any():
+        sat = np.asarray(b)[:, 63 - t - p] != 0
+        est = np.where(zero_rows, np.where(sat, np.inf, 0.0), est)
+    return est
+
+
+def estimate_batch(regs2d: np.ndarray, t: int, d: int, p: int) -> np.ndarray:
+    """ML estimates for a batch of register states (B, m) in one shot."""
+    agg, b = contribute_vec_batch(regs2d, t, d, p)
+    return estimate_from_coefficients(agg, b, t, d, p)
+
+
 # ---------------------------------------------------------------------------
 # the sketch object
 # ---------------------------------------------------------------------------
@@ -431,15 +555,20 @@ class ExaLogLog:
 
     # ----- estimation -----
 
-    def estimate(self) -> float:
-        """ML distinct-count estimate ≙ ExaLogLog.java:584-607."""
+    def estimate(self, stats: dict | None = None) -> float:
+        """ML distinct-count estimate ≙ ExaLogLog.java:584-607.
+
+        ``stats`` (optional dict) receives the Newton ``iterations`` count —
+        the solver-health signal the reference records per rung in its
+        error CSVs (ExaLogLogEstimationErrorSimulation.java:153-159).
+        """
         t, d, p = self.cfg.t, self.cfg.d, self.cfg.p
         agg, b = contribute_vec(self.regs, t, d, p, want_b=True)
         if int(agg) == 0:
             return 0.0 if b[63 - t - p] == 0 else float("inf")
         factor = float(self.cfg.m << (t + 1))
         a = unsigned_to_double(int(agg)) * pow2(-64) * factor
-        x = solve_maximum_likelihood_equation(a, b.tolist(), 63 - p - t, 0.0)
+        x = solve_maximum_likelihood_equation(a, b.tolist(), 63 - p - t, 0.0, stats=stats)
         return factor * x / (1.0 + ml_bias_correction(t, d) / self.cfg.m)
 
     def state_change_probability(self) -> float:

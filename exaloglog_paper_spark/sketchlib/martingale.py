@@ -9,6 +9,8 @@ estimator on merged register states.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .bitops import U64, as_u64, nlz64, pow2
@@ -37,7 +39,13 @@ class MartingaleEstimator:
         self.state_change_probability = state_change_probability
 
     def decrement_state_change_probability(self, probability_decrement: float) -> None:
-        self.distinct_count_estimate += 1.0 / self.state_change_probability
+        # Java double 1.0/0.0 == +Infinity (MartingaleEstimator.java): a
+        # saturated/clamped estimator yields an infinite estimate, never a
+        # ZeroDivisionError
+        if self.state_change_probability == 0.0:
+            self.distinct_count_estimate = math.inf
+        else:
+            self.distinct_count_estimate += 1.0 / self.state_change_probability
         self.state_change_probability -= probability_decrement
         if self.state_change_probability <= 0:  # clamp numerical error (java:146-149)
             self.state_change_probability = 0.0

@@ -118,3 +118,46 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_sim:
             assert exact_sim[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_bucket_size_cap_bounds_degenerate_corpus(spark):
+    """10k identical docs share every band bucket: uncapped, the band
+    self-join would emit ~50M pairs x 4 bands. The max_bucket_size cap must
+    bound both output and runtime (VERDICT r1 item 4)."""
+    import time
+
+    from exaloglog_paper_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    n = 10_000
+    degen = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("the same exact document text").alias("text")
+    )
+    words = degen.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.col("word") != "")
+
+    t0 = time.time()
+    capped = lsh_candidate_pairs(minhash_signatures(words), max_bucket_size=100)
+    assert capped.count() == 0  # the one degenerate bucket is dropped whole
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"degenerate corpus took {elapsed:.1f}s"
+
+    sim_capped = simhash_near_pairs(simhash_signatures(words), max_bucket_size=100)
+    assert sim_capped.count() == 0
+
+    # sanity: a small NON-degenerate bucket still pairs under the same cap
+    ok = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("another duplicate body").alias("text")
+    )
+    ok_words = ok.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    pairs = lsh_candidate_pairs(minhash_signatures(ok_words), max_bucket_size=100)
+    assert pairs.count() == 3  # C(3,2)

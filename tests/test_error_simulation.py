@@ -161,34 +161,55 @@ def test_martingale_rse_matches_published():
     assert rse < ml_rse
 
 
-@pytest.mark.parametrize("v", [8, 10, 12])
-def test_token_estimator_rse_matches_theory(v):
-    """Token-stream estimator rmse ≈ 0.6491/√2^v (the d→∞, t=0 limit of the
-    ML RSE constant: sqrt(ln2/ζ(2,1)) — tokens retain the full nlz
-    histogram, ≙ TokenEstimationErrorSimulation variants v ∈ {6..26})."""
+# published empirical (bias, rmse) at the n=100,000 rung of the reference's
+# own token-error CSVs (results/error/token-estimation-error-{v}.csv, 100k
+# cycles) — the FULL production v grid incl. v=26, the production token width
+# (TokenEstimationErrorSimulation.java:76-97; java/build.gradle:134-155)
+_TOKEN_PUBLISHED = {
+    6: (0.004331009121376007, 0.08204744548201154),
+    8: (0.0010074870996202164, 0.04045585210008861),
+    10: (1.8393035878039036e-4, 0.02004633756759846),
+    12: (7.540853098038906e-5, 0.009621977914882732),
+    18: (-1.1239267423904792e-6, 8.120060924486249e-4),
+    26: (-1.792273666849287e-7, 4.975376357199079e-5),
+}
+
+
+@pytest.mark.parametrize("v", [6, 8, 10, 12, 18, 26])
+def test_token_estimator_matches_published_rmse(v):
+    """Token-stream estimator rmse at n=100k matches the reference's OWN
+    published empirical rmse per v (see _TOKEN_PUBLISHED above). At large v
+    the published rmse sits legitimately BELOW the asymptotic RSE
+    0.6491/√2^v (low-occupancy regime), so pinning against the published
+    value is strictly stronger than the theory-ratio check."""
     import math
 
-    from exaloglog_paper_spark.sketchlib.constants import ml_rse_constant
-    from exaloglog_paper_spark.sketchlib.exaloglog import compute_token
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        compute_token,
+        estimate_distinct_from_tokens,
+    )
 
-    # d -> max for t=0 is the information limit of the token stream
-    c_limit = ml_rse_constant(0, 58)
-    rse = c_limit / math.sqrt(1 << v)
-    n = 60_000
+    pub_bias, pub_rmse = _TOKEN_PUBLISHED[v]
+    n = 100_000
+    cycles = 150
     errs = []
-    for c in range(150):
-        seed = int(splitmix64_stream(0xBEEF, 1, offset=c)[0])
+    for c in range(cycles):
+        seed = int(splitmix64_stream(0xBEEF ^ v, 1, offset=c)[0])
         hashes = splitmix64_stream(seed, n)
-        from exaloglog_paper_spark.sketchlib.exaloglog import (
-            estimate_distinct_from_tokens,
-        )
-
         est = estimate_distinct_from_tokens(compute_token(hashes, v), v)
         errs.append(est / n - 1)
     errs = np.array(errs)
     rmse = float(np.sqrt((errs**2).mean()))
-    assert 0.6 * rse < rmse < 1.4 * rse, (v, rmse, rse)
-    assert abs(errs.mean()) < 5 * rse / math.sqrt(150)
+    # rmse of `cycles` squared errors has ~1/sqrt(2*cycles) ≈ 5.8% rel sd;
+    # allow 4 sigma
+    assert abs(rmse / pub_rmse - 1) < 0.25, (v, rmse, pub_rmse)
+    # bias is tiny relative to rmse; assert it within Monte-Carlo noise of
+    # the published bias
+    assert abs(errs.mean() - pub_bias) < 5 * pub_rmse / math.sqrt(cycles), (
+        v,
+        errs.mean(),
+        pub_bias,
+    )
 
 
 def test_reference_style_csv(tmp_path, spark):
@@ -207,5 +228,32 @@ def test_reference_style_csv(tmp_path, spark):
         assert header.startswith("sketch_name=ExaLogLog; t=2; d=20; p=6;")
         cols = f.readline().strip().split(";")
         assert cols[0] == "rung"
+        # solver-health columns (reference CSV cols 8-10)
+        assert cols[-3:] == ["min_iterations", "mean_iterations", "max_iterations"]
         back = pd.read_csv(out, sep=";", skiprows=1)
         assert len(back) == 2
+        assert (back["max_iterations"] >= back["min_iterations"]).all()
+
+
+def test_solver_iteration_stats_match_reference(spark):
+    """Mean Newton iterations at (t=2,d=20,p=10), n=10 matches the
+    reference's published solver stats: mean 2.34991, min 0, max 4
+    (results/error/exaloglog-estimation-error-t02-d20-p10.csv row n=10)."""
+    errors = simulate_errors(spark, 2, 20, 10, num_cycles=400, ladder=[10.0], seed=11)
+    r = error_summary(errors, 2, 20, 10).collect()[0]
+    assert abs(r.mean_iterations - 2.34991) < 0.25, r.mean_iterations
+    assert r.min_iterations >= 0 and r.max_iterations <= 5
+
+
+def test_martingale_saturated_estimator_returns_infinity():
+    """Java 1.0/0.0 == +Infinity: a clamped (p=0) estimator must yield an
+    infinite estimate, not ZeroDivisionError (MartingaleEstimator.java)."""
+    import math
+
+    from exaloglog_paper_spark.sketchlib.martingale import MartingaleEstimator
+
+    est = MartingaleEstimator(42.0, 1e-300)
+    est.decrement_state_change_probability(1e-300)  # clamps p to 0.0
+    assert est.state_change_probability == 0.0
+    est.decrement_state_change_probability(0.0)
+    assert math.isinf(est.distinct_count_estimate)

@@ -68,3 +68,24 @@ def test_intersection_inclusion_exclusion():
     b = ExaLogLog.create(2, 20, 10).add_hashes(base[30_000:])
     est = estimate_intersection(spec, a.serialize(), b.serialize())
     assert est == pytest.approx(30_000, rel=0.15)
+
+
+def test_rollup_preserves_non_string_key_types(spark):
+    """Missing-level null literals must carry each key column's real type:
+    an int key must stay int across the unionByName (ADVICE r1)."""
+    from exaloglog_paper_spark.ops.rollup import sketch_cube
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 11), (2, "x", 10)], "bucket int, tag string, v long"
+    )
+    spec = ExaLogLogSpec(2, 8, 8)
+    fine = sketch_agg(df, spec, __import__("exaloglog_paper_spark.ops.agg", fromlist=["hash64_values"]).hash64_values("v"), by=["bucket", "tag"])
+    levels = sketch_rollup(fine, spec, [("bucket", "tag"), ("bucket",), ()])
+    schema = {f.name: f.dataType.simpleString() for f in levels.schema.fields}
+    assert schema["bucket"] == "int"
+    assert schema["tag"] == "string"
+    cube = sketch_cube(fine, spec, ["bucket", "tag"])
+    assert {f.name: f.dataType.simpleString() for f in cube.schema.fields}["bucket"] == "int"
+    # values survive: coarsest level merges everything
+    total = [r for r in levels.collect() if r.bucket is None and r.tag is None]
+    assert len(total) == 1 and total[0].n_values == 3

@@ -163,3 +163,40 @@ def test_hll_spec_shares_kernel(spark, tdf, truth):
         sketch_agg(tdf, spec, token_array_values("tokens")), spec
     ).collect()[0]
     assert abs(row.estimate / truth["distinct_tokens"] - 1) < 3 * spec.theoretical_rse()
+
+
+def test_null_group_keys_form_their_own_group(spark):
+    """Null by-column values must group together (SQL semantics), not crash
+    the Arrow dictionary-encode path or corrupt indexing (ADVICE r1)."""
+    rows = [("a", 1), (None, 2), ("a", 3), (None, 4), ("b", 2), (None, 2)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = sketch_agg(df, ExaLogLogSpec(2, 8, 8), hash64_values("v"), by=["k"]).collect()
+    got = {r.k: r.n_values for r in out}
+    assert got == {"a": 2, "b": 1, None: 3}
+    # multi-column key path (pandas factorize) with nulls in either column
+    df2 = spark.createDataFrame(
+        [("a", None, 1), ("a", None, 2), (None, 5, 3), (None, 5, 3), ("a", 5, 9)],
+        "k1 string, k2 int, v long",
+    )
+    out2 = sketch_agg(
+        df2, ExaLogLogSpec(2, 8, 8), hash64_values("v"), by=["k1", "k2"]
+    ).collect()
+    got2 = {(r.k1, r.k2): r.n_values for r in out2}
+    assert got2 == {("a", None): 2, (None, 5): 2, ("a", 5): 1}
+
+
+def test_finalize_batch_matches_per_row(spark, tdf):
+    """ExaLogLogSpec.finalize_batch (unpackbits + batched contribute +
+    vectorized ML solve) must match per-row deserialize+estimate exactly."""
+    spec = ExaLogLogSpec(2, 20, 8)
+    rows = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"]).collect()
+    states = [bytes(r.sketch) for r in rows]
+    batch = spec.finalize_batch(states)
+    per_row = [spec.finalize(spec.deserialize(s)) for s in states]
+    np.testing.assert_allclose(batch, per_row, rtol=1e-12)
+    # with_estimate must route through the batch path and agree too
+    df = sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"])
+    got = {r.source: r.estimate for r in with_estimate(df, spec).collect()}
+    want = {r.source: spec.finalize(spec.deserialize(bytes(r.sketch))) for r in rows}
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9 * max(1.0, abs(want[k]))
