@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_bound": Q.bloom_membership_bound,
         "dedup_exact_summary": Q.dedup_exact_summary,
         "minhash_lsh_candidates": Q.minhash_lsh_candidates,
+        "mass_duplicate_clusters": Q.mass_duplicate_clusters,
         "simhash_near_duplicates": Q.simhash_near_duplicates,
         "jaccard_near_duplicates": Q.jaccard_near_duplicates,
         "embedding_near_duplicates": Q.embedding_near_duplicates,
@@ -369,6 +370,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "mass_duplicate_clusters": f"""
+            WITH {WORD_CTE},
+            mh AS (
+                SELECT doc_id, i,
+                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
+                FROM words CROSS JOIN range(8) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
+                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
+                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
+                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
+                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
+                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
+                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
+                       max(CASE WHEN i = 7 THEN h END) AS mh_7
+                FROM mh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
+            )
+            SELECT band, bucket, count(*) AS members, min(doc_id) AS hub
+            FROM bands GROUP BY band, bucket HAVING count(*) > 200
         """,
         "jaccard_near_duplicates": f"""
             WITH {WORD_CTE},

@@ -107,31 +107,31 @@ def main() -> None:
         ).collect(),
     )
 
-    timed(
+    timed_min(
         "ell_global_build_jvm_bridge",
         lambda: sketch_agg(tdf, spec, token_array_values("tokens")).collect(),
     )
 
-    timed(
+    timed_min(
         "spark_builtin_approx_count_distinct",
         lambda: tdf.select(F.explode("tokens").alias("t"))
         .agg(F.approx_count_distinct("t", 0.0113))
         .collect(),
     )
 
-    timed(
+    timed_min(
         "spark_builtin_hll_sketch_agg",
         lambda: tdf.select(F.explode("tokens").alias("t"))
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("t", 14)))
         .collect(),
     )
 
-    timed(
+    timed_min(
         "exact_distinct_tokens",
         lambda: tdf.select(F.explode("tokens").alias("t")).agg(F.count_distinct("t")).collect(),
     )
 
-    timed(
+    timed_min(
         "ntok_stats",
         lambda: tdf.groupBy("source").agg(F.avg("n_tok"), F.expr("percentile(n_tok, 0.5)")).collect(),
     )
@@ -149,7 +149,7 @@ def main() -> None:
 
         return dedup_exact_summary(spark, SF_DIR).collect()
 
-    timed("dedup_exact_summary", q_dedup)
+    timed_min("dedup_exact_summary", q_dedup)
 
     def q_jaccard():
         from exaloglog_paper_spark.ops.queries import jaccard_near_duplicates

