@@ -108,3 +108,36 @@ def scan_sketch_agg(
     schema = _by_schema_from_fields([file_schema.field(c) for c in by])
     partials = sdf.mapInArrow(run, schema=schema)
     return tree_merge(partials, spec, by=by, num_partials=num_p, fanin=fanin)
+
+
+def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
+    """Load the pre-tokenized sequence table (doc_id, tokens:array<int32>,
+    n_tok, source) — the BASELINE.json input_hint shape — from either an
+    Iceberg table or parquet files.
+
+    ``fmt``:
+      - ``"iceberg"``: ``source`` is a catalog identifier
+        (``catalog.db.table``) or a path for ``spark.read.format("iceberg")``
+        — requires ``iceberg-spark-runtime`` on the cluster classpath (the
+        production deployment; this sandbox has no Iceberg jars, so the
+        path is exercised on real clusters only). All downstream operators
+        consume the DataFrame, so Iceberg's hidden partitioning / snapshot
+        isolation compose for free; use the DataFrame route
+        (``ops.agg.sketch_agg``), not the pyarrow row-group scan, which is
+        parquet-file-layout specific.
+      - ``"parquet"``: ``source`` is a parquet file/directory.
+      - ``"auto"``: iceberg when ``source`` looks like a catalog identifier
+        (dotted, no path separator), else parquet.
+    """
+    if fmt == "auto":
+        fmt = "iceberg" if ("/" not in source and "." in source) else "parquet"
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception as e:  # jars absent or table missing: actionable error
+            raise RuntimeError(
+                f"cannot read Iceberg table {source!r}: is "
+                "iceberg-spark-runtime on the classpath and the catalog "
+                f"configured? ({e})"
+            ) from e
+    return spark.read.parquet(source)

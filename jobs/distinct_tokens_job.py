@@ -1,5 +1,6 @@
-"""spark-submit entry point: distinct-token sketch build over a parquet
-token table (doc_id, tokens:array<int32>, n_tok, source).
+"""spark-submit entry point: distinct-token sketch build over a token
+table (doc_id, tokens:array<int32>, n_tok, source) — parquet files or an
+Iceberg catalog table.
 
 Usage (the production invocation shape; works on any cluster master):
 
@@ -9,6 +10,11 @@ Usage (the production invocation shape; works on any cluster master):
         jobs/distinct_tokens_job.py \
         --input /path/to/tokens.parquet --by source \
         --checkpoint-dir /path/to/ckpt --output /path/to/out.parquet
+
+    # Iceberg (cluster with iceberg-spark-runtime + catalog configured):
+    spark-submit ... jobs/distinct_tokens_job.py \
+        --input prod_catalog.training.tokenized_sequences --format iceberg \
+        --by source
 
 Resumable: pass --checkpoint-dir to get bucket-granular restart with
 per-partition lineage/metrics (see ops/checkpoints.py).
@@ -24,6 +30,11 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--format", default="auto", choices=["auto", "parquet", "iceberg"],
+        help="input format; iceberg reads a catalog table (needs "
+        "iceberg-spark-runtime on the cluster classpath)",
+    )
     ap.add_argument("--by", default="")
     ap.add_argument("--t", type=int, default=2)
     ap.add_argument("--d", type=int, default=20)
@@ -38,18 +49,29 @@ def main() -> None:
         token_array_values,
         with_estimate,
     )
+    from exaloglog_paper_spark.ops.agg import sketch_agg
     from exaloglog_paper_spark.ops.checkpoints import checkpointed_sketch_agg
-    from exaloglog_paper_spark.ops.source import scan_sketch_agg
+    from exaloglog_paper_spark.ops.source import read_tokens, scan_sketch_agg
 
     spark = SparkSession.builder.appName("distinct-tokens").getOrCreate()
     spec = ExaLogLogSpec(args.t, args.d, args.p)
     by = [c for c in args.by.split(",") if c]
     extractor = token_array_values("tokens")
+    fmt = args.format
+    if fmt == "auto":
+        fmt = "iceberg" if ("/" not in args.input and "." in args.input) else "parquet"
     if args.checkpoint_dir:
+        if fmt == "iceberg":
+            raise SystemExit(
+                "--checkpoint-dir uses parquet row-group buckets; for Iceberg "
+                "inputs run per-snapshot/partition jobs or export to parquet"
+            )
         out = checkpointed_sketch_agg(
             spark, args.input, spec, extractor,
             ckpt_dir=args.checkpoint_dir, by=by, num_buckets=args.num_buckets,
         )
+    elif fmt == "iceberg":
+        out = sketch_agg(read_tokens(spark, args.input, fmt), spec, extractor, by=by)
     else:
         out = scan_sketch_agg(spark, args.input, spec, extractor, by=by)
     out = with_estimate(out, spec)

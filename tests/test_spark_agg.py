@@ -200,3 +200,20 @@ def test_finalize_batch_matches_per_row(spark, tdf):
     want = {r.source: spec.finalize(spec.deserialize(bytes(r.sketch))) for r in rows}
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-9 * max(1.0, abs(want[k]))
+
+
+def test_read_tokens_parquet_and_iceberg_gating(spark):
+    """read_tokens: parquet path works and auto-detects; the Iceberg path
+    (no jars in this sandbox) raises an actionable error, not a bare
+    ClassNotFound."""
+    import pytest as _pytest
+
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.source import read_tokens
+
+    path = tok.materialize_token_table("sf0.001")
+    df = read_tokens(spark, path)  # auto -> parquet
+    assert set(df.columns) >= {"doc_id", "tokens", "n_tok", "source"}
+    assert df.count() > 0
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_tokens(spark, "catalog.db.tokens", fmt="iceberg")
