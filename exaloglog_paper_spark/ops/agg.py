@@ -242,7 +242,15 @@ class token_array_values(Extractor):
         arr = batch.column(self.col)
         if hasattr(arr, "combine_chunks"):
             arr = arr.combine_chunks()
-        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off_arr = arr.offsets
+        try:
+            # offsets are never null: zero-copy view. The zero_copy_only=False
+            # form routes this child array through a pathological conversion
+            # (~58 ms per batch measured for 1.5k offsets!) — keep it only as
+            # the fallback for exotic layouts.
+            offsets = off_arr.to_numpy().astype(np.int64, copy=False)
+        except Exception:
+            offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = arr.values.to_numpy(zero_copy_only=False)
         flat = flat[offsets[0] : offsets[-1]]  # respect any slicing
         lengths = np.diff(offsets)
@@ -352,7 +360,12 @@ def _build_partials_batches(batches, spec: "SketchSpec", extractor: "Extractor",
                 # match Spark/SQL groupBy semantics (null is a group)
                 idx = idx.fill_null(len(uniques))
                 uniques = uniques + [None]
-            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            try:
+                # null-free -> zero-copy; zero_copy_only=False on this child
+                # array is a ~40 ms/batch pathological conversion
+                codes = idx.to_numpy().astype(np.int64, copy=False)
+            except Exception:
+                codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
             key_of = lambda c: (uniques[c],)  # noqa: E731
         else:
             pdf = pa.Table.from_batches([batch]).select(by).to_pandas()

@@ -166,7 +166,13 @@ class token_array_ids(Extractor):
         arr = batch.column(self.col)
         if hasattr(arr, "combine_chunks"):
             arr = arr.combine_chunks()
-        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off_arr = arr.offsets
+        try:
+            # zero-copy: offsets never null (the zero_copy_only=False form is
+            # a ~58 ms/batch pathological conversion — see agg.token_array_values)
+            offsets = off_arr.to_numpy().astype(np.int64, copy=False)
+        except Exception:
+            offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = arr.values.to_numpy(zero_copy_only=False)
         flat = flat[offsets[0] : offsets[-1]]
         return flat.astype(np.int64, copy=False), np.diff(offsets)
