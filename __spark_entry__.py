@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mass_duplicate_clusters": Q.mass_duplicate_clusters,
         "simhash_near_duplicates": Q.simhash_near_duplicates,
         "jaccard_near_duplicates": Q.jaccard_near_duplicates,
+        "ngram_jaccard_near_duplicates": Q.ngram_jaccard_near_duplicates,
+        "token_count_summary": Q.token_count_summary,
         "embedding_near_duplicates": Q.embedding_near_duplicates,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
@@ -370,6 +372,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_near_duplicates": """
+            WITH doc_ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
+                FROM doc_ws, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            ),
+            mh AS (
+                SELECT doc_id, i,
+                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
+                FROM words CROSS JOIN range(8) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
+                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
+                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
+                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
+                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
+                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
+                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
+                       max(CASE WHEN i = 7 THEN h END) AS mh_7
+                FROM mh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            wsets AS (SELECT DISTINCT doc_id, word FROM words),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM wsets GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS i
+                FROM cand c
+                JOIN wsets wa ON wa.doc_id = c.id_a
+                JOIN wsets wb ON wb.doc_id = c.id_b AND wb.word = wa.word
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT i2.id_a, i2.id_b,
+                   round(i2.i / (sa.sz + sb.sz - i2.i), 6) AS jaccard
+            FROM inter i2
+            JOIN sizes sa ON sa.doc_id = i2.id_a
+            JOIN sizes sb ON sb.doc_id = i2.id_b
+            WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8
+        """,
+        "token_count_summary": """
+            WITH per_doc AS (
+                SELECT source,
+                       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       w -> w <> ''))::BIGINT
+                       + len(list_filter(regexp_split_to_array(text, '[a-zA-Z0-9\s]+'),
+                                         w -> w <> ''))::BIGINT AS approx_tokens
+                FROM documents
+            )
+            SELECT source, count(*) AS docs,
+                   sum(approx_tokens)::BIGINT AS total_approx_tokens,
+                   round(sum(approx_tokens)::BIGINT / CAST(count(*) AS DOUBLE), 6)
+                       AS avg_approx_tokens
+            FROM per_doc GROUP BY source
         """,
         "mass_duplicate_clusters": f"""
             WITH {WORD_CTE},

@@ -63,6 +63,25 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """documents exploded to one row per word n-gram shingle (order-aware
+    dedup unit; same deterministic tokenization as _words). The shingle
+    table has the exact (doc_id, word) shape the MinHash/LSH/Jaccard
+    machinery consumes, so n-gram dedup reuses it unchanged."""
+    words = F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT_RE), lambda w: w != "")
+    cnt = F.size(words) - (n - 1)  # number of shingles; <= 0 for short docs
+    sh = F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread(_docs(spark, sf_dir)).select("doc_id", F.explode(sh).alias("word"))
+
+
 def exact_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _words(spark, sf_dir)
@@ -516,6 +535,20 @@ def jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verified_pairs(words, cands, threshold=0.8)
 
 
+def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware near-dup pairs: 3-word-shingle sets through the SAME
+    MinHash/LSH/exact-Jaccard pipeline (threshold 0.8). Word-set Jaccard is
+    order-blind ('a b c' == 'c b a'); shingle Jaccard is the n-gram dedup
+    unit the brief calls for. One parameter swap — the pipeline machinery
+    is shared, so every scale property (bucket cap, persisted band table,
+    array_intersect verification) carries over."""
+    from .dedup import jaccard_verified_pairs, lsh_candidate_pairs, minhash_signatures
+
+    shingles = _shingles(spark, sf_dir, n=3)
+    cands = lsh_candidate_pairs(minhash_signatures(shingles))
+    return jaccard_verified_pairs(shingles, cands, threshold=0.8)
+
+
 def mass_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band buckets above the quadratic-blowup cap: the mass-duplicate
     clusters the star-edge path links linearly instead of all-pairs
@@ -792,6 +825,21 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_distinct_words").cast("long") / F.greatest(tw, F.lit(1)), 6
         ).alias("distinct_word_ratio"),
+    )
+
+
+def token_count_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish approximate token counts per source (words + punctuation
+    runs; pure JVM expressions). Hash-stable: one division of exact integer
+    sums, rounded once (same rule as text_quality_by_source)."""
+    from .textstats import bpe_ish_token_count
+
+    d = bpe_ish_token_count(_docs(spark, sf_dir))
+    tot = F.sum("approx_tokens").cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        tot.alias("total_approx_tokens"),
+        F.round(tot / F.count(F.lit(1)), 6).alias("avg_approx_tokens"),
     )
 
 
