@@ -85,9 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB twin of ops/dedup.simhash_signatures + simhash_near_pairs:
-    bit b of h(word) = bit (b % 4), LSB-first, of md5 hex nibble (b // 4)."""
+def _simhash_oracle_sql(cap: int | None = None) -> str:
+    """DuckDB twin of ops/dedup.simhash_signatures + simhash_near_pairs
+    INCLUDING the bucket-size cap's hub-star edges: bit b of h(word) =
+    bit (b % 4), LSB-first, of md5 hex nibble (b // 4)."""
+    if cap is None:
+        from exaloglog_paper_spark.ops.dedup import MAX_BUCKET_SIZE as cap
     nib = "strpos('0123456789abcdef', substr(md5(word), {p}, 1)) - 1"
     sums = ",\n                ".join(
         f"sum(CASE WHEN (({nib.format(p=b // 4 + 1)}) >> {b % 4}) & 1 = 1 "
@@ -120,18 +123,134 @@ def _simhash_oracle_sql() -> str:
                              WHEN 2 THEN chunk_2 ELSE chunk_3 END AS chunk
             FROM chunks, unnest([0, 1, 2, 3]) AS t(band)
         ),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY band, chunk) AS bsz FROM bands
+        ),
+        kept AS (SELECT * FROM sized WHERE bsz <= {cap}),
+        over_b AS (SELECT * FROM sized WHERE bsz > {cap}),
+        hubs AS (
+            SELECT band, chunk, min(doc_id) AS hub FROM over_b GROUP BY band, chunk
+        ),
+        hubrows AS (
+            SELECT o.band, o.chunk, o.doc_id AS hub,
+                   o.chunk_0 AS h0, o.chunk_1 AS h1, o.chunk_2 AS h2, o.chunk_3 AS h3
+            FROM over_b o JOIN hubs h
+              ON o.band = h.band AND o.chunk = h.chunk AND o.doc_id = h.hub
+        ),
+        star AS (
+            SELECT hr.hub AS id_a, o.doc_id AS id_b,
+                   hr.h0 AS ca_0, hr.h1 AS ca_1, hr.h2 AS ca_2, hr.h3 AS ca_3,
+                   o.chunk_0 AS cb_0, o.chunk_1 AS cb_1,
+                   o.chunk_2 AS cb_2, o.chunk_3 AS cb_3
+            FROM over_b o JOIN hubrows hr ON o.band = hr.band AND o.chunk = hr.chunk
+            WHERE o.doc_id <> hr.hub
+        ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   a.chunk_0 AS ca_0, a.chunk_1 AS ca_1,
-                   a.chunk_2 AS ca_2, a.chunk_3 AS ca_3,
-                   b.chunk_0 AS cb_0, b.chunk_1 AS cb_1,
-                   b.chunk_2 AS cb_2, b.chunk_3 AS cb_3
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            SELECT DISTINCT * FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.chunk_0 AS ca_0, a.chunk_1 AS ca_1,
+                       a.chunk_2 AS ca_2, a.chunk_3 AS ca_3,
+                       b.chunk_0 AS cb_0, b.chunk_1 AS cb_1,
+                       b.chunk_2 AS cb_2, b.chunk_3 AS cb_3
+                FROM kept a JOIN kept b
+                  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+                UNION ALL SELECT * FROM star
+            )
         )
         SELECT id_a, id_b, ({hamming})::BIGINT AS hamming
         FROM cand WHERE ({hamming}) <= 3
     """
+
+
+
+# shared DuckDB CTE fragments for the MinHash/LSH oracles — including the
+# bucket-size cap + hub-star edges, so the oracles model the ENGINE'S
+# semantics at any scale, not just scales where no bucket exceeds the cap
+from exaloglog_paper_spark.ops.dedup import MAX_BUCKET_SIZE as _LSH_CAP  # noqa: E402
+
+_MINHASH_SIG_CTES = """mh AS (
+                SELECT doc_id, i,
+                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
+                FROM words CROSS JOIN range(8) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
+                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
+                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
+                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
+                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
+                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
+                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
+                       max(CASE WHEN i = 7 THEN h END) AS mh_7
+                FROM mh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
+            )"""
+
+
+def _capped_cand_ctes(cap: int = _LSH_CAP) -> str:
+    """bands -> cand: all-pairs within buckets <= cap, hub-star edges for
+    oversized buckets (mirrors ops/dedup._cap_bucket_size exactly)."""
+    return f"""sized AS (
+                SELECT doc_id, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bands
+            ),
+            kept AS (SELECT doc_id, band, bucket FROM sized WHERE bsz <= {cap}),
+            over_b AS (SELECT doc_id, band, bucket FROM sized WHERE bsz > {cap}),
+            hubs AS (
+                SELECT band, bucket, min(doc_id) AS hub
+                FROM over_b GROUP BY band, bucket
+            ),
+            star AS (
+                SELECT h.hub AS id_a, o.doc_id AS id_b
+                FROM over_b o JOIN hubs h USING (band, bucket)
+                WHERE o.doc_id <> h.hub
+            ),
+            cand AS (
+                SELECT DISTINCT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM kept a JOIN kept b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+                    UNION ALL SELECT id_a, id_b FROM star
+                )
+            )"""
+
+
+_JACCARD_TAIL = """wsets AS (SELECT DISTINCT doc_id, word FROM words),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM wsets GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS i
+                FROM cand c
+                JOIN wsets wa ON wa.doc_id = c.id_a
+                JOIN wsets wb ON wb.doc_id = c.id_b AND wb.word = wa.word
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT i2.id_a, i2.id_b,
+                   round(i2.i / (sa.sz + sb.sz - i2.i), 6) AS jaccard
+            FROM inter i2
+            JOIN sizes sa ON sa.doc_id = i2.id_a
+            JOIN sizes sb ON sb.doc_id = i2.id_b
+            WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8"""
+
+_SHINGLE_CTE = """doc_ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
+                FROM doc_ws, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -345,90 +464,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": f"""
             WITH {WORD_CTE},
-            mh AS (
-                SELECT doc_id, i,
-                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
-                FROM words CROSS JOIN range(8) t(i)
-                GROUP BY doc_id, i
-            ),
-            sig AS (
-                SELECT doc_id,
-                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
-                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
-                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
-                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
-                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
-                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
-                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
-                       max(CASE WHEN i = 7 THEN h END) AS mh_7
-                FROM mh GROUP BY doc_id
-            ),
-            bands AS (
-                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
-                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            {_MINHASH_SIG_CTES},
+            {_capped_cand_ctes()}
+            SELECT id_a, id_b FROM cand
         """,
-        "ngram_jaccard_near_duplicates": """
-            WITH doc_ws AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                                   w -> w <> '') AS ws
-                FROM documents
-            ),
-            words AS (
-                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS word
-                FROM doc_ws, unnest(range(1, len(ws) - 1)) AS t(i)
-                WHERE len(ws) >= 3
-            ),
-            mh AS (
-                SELECT doc_id, i,
-                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
-                FROM words CROSS JOIN range(8) t(i)
-                GROUP BY doc_id, i
-            ),
-            sig AS (
-                SELECT doc_id,
-                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
-                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
-                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
-                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
-                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
-                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
-                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
-                       max(CASE WHEN i = 7 THEN h END) AS mh_7
-                FROM mh GROUP BY doc_id
-            ),
-            bands AS (
-                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
-                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-            ),
-            wsets AS (SELECT DISTINCT doc_id, word FROM words),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM wsets GROUP BY doc_id),
-            inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS i
-                FROM cand c
-                JOIN wsets wa ON wa.doc_id = c.id_a
-                JOIN wsets wb ON wb.doc_id = c.id_b AND wb.word = wa.word
-                GROUP BY c.id_a, c.id_b
-            )
-            SELECT i2.id_a, i2.id_b,
-                   round(i2.i / (sa.sz + sb.sz - i2.i), 6) AS jaccard
-            FROM inter i2
-            JOIN sizes sa ON sa.doc_id = i2.id_a
-            JOIN sizes sb ON sb.doc_id = i2.id_b
-            WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8
+        "ngram_jaccard_near_duplicates": f"""
+            WITH {_SHINGLE_CTE},
+            {_MINHASH_SIG_CTES},
+            {_capped_cand_ctes()},
+            {_JACCARD_TAIL}
         """,
         "token_count_summary": """
             WITH per_doc AS (
@@ -447,79 +491,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mass_duplicate_clusters": f"""
             WITH {WORD_CTE},
-            mh AS (
-                SELECT doc_id, i,
-                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
-                FROM words CROSS JOIN range(8) t(i)
-                GROUP BY doc_id, i
-            ),
-            sig AS (
-                SELECT doc_id,
-                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
-                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
-                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
-                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
-                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
-                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
-                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
-                       max(CASE WHEN i = 7 THEN h END) AS mh_7
-                FROM mh GROUP BY doc_id
-            ),
-            bands AS (
-                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
-                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
-            )
+            {_MINHASH_SIG_CTES}
             SELECT band, bucket, count(*) AS members, min(doc_id) AS hub
             FROM bands GROUP BY band, bucket HAVING count(*) > 200
         """,
         "jaccard_near_duplicates": f"""
             WITH {WORD_CTE},
-            mh AS (
-                SELECT doc_id, i,
-                       min(substr(md5(i::VARCHAR || '|' || word), 1, 16)) AS h
-                FROM words CROSS JOIN range(8) t(i)
-                GROUP BY doc_id, i
-            ),
-            sig AS (
-                SELECT doc_id,
-                       max(CASE WHEN i = 0 THEN h END) AS mh_0,
-                       max(CASE WHEN i = 1 THEN h END) AS mh_1,
-                       max(CASE WHEN i = 2 THEN h END) AS mh_2,
-                       max(CASE WHEN i = 3 THEN h END) AS mh_3,
-                       max(CASE WHEN i = 4 THEN h END) AS mh_4,
-                       max(CASE WHEN i = 5 THEN h END) AS mh_5,
-                       max(CASE WHEN i = 6 THEN h END) AS mh_6,
-                       max(CASE WHEN i = 7 THEN h END) AS mh_7
-                FROM mh GROUP BY doc_id
-            ),
-            bands AS (
-                SELECT doc_id, 0 AS band, md5(mh_0 || ',' || mh_1) AS bucket FROM sig
-                UNION ALL SELECT doc_id, 1, md5(mh_2 || ',' || mh_3) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(mh_4 || ',' || mh_5) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(mh_6 || ',' || mh_7) FROM sig
-            ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-            ),
-            wsets AS (SELECT DISTINCT doc_id, word FROM words),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM wsets GROUP BY doc_id),
-            inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS i
-                FROM cand c
-                JOIN wsets wa ON wa.doc_id = c.id_a
-                JOIN wsets wb ON wb.doc_id = c.id_b AND wb.word = wa.word
-                GROUP BY c.id_a, c.id_b
-            )
-            SELECT i2.id_a, i2.id_b,
-                   round(i2.i / (sa.sz + sb.sz - i2.i), 6) AS jaccard
-            FROM inter i2
-            JOIN sizes sa ON sa.doc_id = i2.id_a
-            JOIN sizes sb ON sb.doc_id = i2.id_b
-            WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8
+            {_MINHASH_SIG_CTES},
+            {_capped_cand_ctes()},
+            {_JACCARD_TAIL}
         """,
         "embedding_near_duplicates": """
             WITH emb AS (

@@ -132,6 +132,31 @@ def minhash_signatures(
     return words.groupBy(id_col).agg(*mins)
 
 
+def band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(id, band, bucket) rows: each band of ``band_size`` minhashes hashed
+    to its md5 bucket. THE single definition of the banding convention —
+    shared by the candidate join and the mass-duplicate observability query
+    so they can never drift apart."""
+    num_bands = num_hashes // band_size
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    return signatures.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -148,26 +173,12 @@ def lsh_candidate_pairs(
     degenerate bucket is the one quadratic failure mode of banded LSH at
     10^12 docs, while the star keeps its connected component intact.
     """
-    num_bands = num_hashes // band_size
-    bands = []
-    for b in range(num_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
-        )
     # persist the band table: the self-join would otherwise recompute the
     # full word-explode + md5 signature build for BOTH sides (no
     # ReusedExchange fires across the a/b aliases). ~50 bytes x 4 bands/doc,
     # so this is the production shape at 10^12 docs too (signatures are
     # checkpointed, candidates joined from the checkpoint).
-    exploded = (
-        signatures.select(id_col, F.explode(F.array(*bands)).alias("bb"))
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()
-    )
+    exploded = band_table(signatures, id_col, num_hashes, band_size).persist()
     exploded, star = _cap_bucket_size(
         exploded, max_bucket_size, ("band", "bucket"), id_col
     )
@@ -277,7 +288,8 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Hamming-near pairs via 4x16-bit band blocking (any pair within
     hamming distance <= 3 shares at least one exact 16-bit band). Oversized
-    band buckets are dropped before the self-join (see _cap_bucket_size)."""
+    band buckets bypass the all-pairs self-join and emit hub-star edges
+    instead (see _cap_bucket_size); the hamming filter applies to both."""
     bands = [
         F.struct(F.lit(i).alias("band"), F.col(f"chunk_{i}").alias("chunk"))
         for i in range(4)

@@ -544,7 +544,9 @@ def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     array_intersect verification) carries over."""
     from .dedup import jaccard_verified_pairs, lsh_candidate_pairs, minhash_signatures
 
-    shingles = _shingles(spark, sf_dir, n=3)
+    # the shingle explosion is the expensive per-row stage and feeds BOTH
+    # branches (signature build + word-set verification) — persist it once
+    shingles = _shingles(spark, sf_dir, n=3).persist()
     cands = lsh_candidate_pairs(minhash_signatures(shingles))
     return jaccard_verified_pairs(shingles, cands, threshold=0.8)
 
@@ -556,22 +558,11 @@ def mass_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) with its hub (min doc_id) and member count — the dedup-pipeline
     observability surface for 'how much did the cap reroute'. Cap is set
     low here so sf0.01 exercises the path; production uses 2000."""
-    from .dedup import BAND_SIZE, NUM_MINHASHES, minhash_signatures
+    from .dedup import band_table, minhash_signatures
 
     cap = 200
     sigs = minhash_signatures(_words(spark, sf_dir))
-    num_bands = NUM_MINHASHES // BAND_SIZE
-    bands = []
-    for b_i in range(num_bands):
-        cols = [F.col(f"mh_{b_i * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        bands.append(
-            F.struct(
-                F.lit(b_i).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket")
-            )
-        )
-    exploded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    exploded = band_table(sigs)  # THE banding convention (shared helper)
     return (
         exploded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("members"), F.min("doc_id").alias("hub"))

@@ -126,16 +126,21 @@ def train_ivf_centroids(
     the *assignment* of the full table stays distributed). Returns
     (n_centroids, dim) float64, L2-normalized.
 
-    Sampling is ``df.sample(fraction, seed)`` — a cheap per-row Bernoulli
-    mask at scan time (count(*) over parquet is metadata-only) — never a
-    full-table xxhash64 + top-K heap. The deterministic hash-order tiebreak
-    runs only over the ~1.2x oversampled subset.
+    Sampling is a CONTENT-hash filter (``xxhash64(vec, seed) % ratio == 0``)
+    so the selected rows depend only on the data, never on partition layout
+    — ``df.sample`` draws per-partition and would pick different rows at
+    different core counts / split plans, flapping the downstream recall
+    bound (this repo benches at 2 vs 8 cores). The scan pays one hash +
+    predicate per row (same order as sample()'s per-row RNG); the top-K
+    heap that made the old full-table orderBy expensive now runs only over
+    the ~1.2x oversampled subset. count(*) over parquet is metadata-only.
     """
     total = embeddings.count()
-    frac = min(1.0, (sample * 1.2) / max(total, 1))
+    ratio = max(int(total // max(sample * 1.2, 1)), 1)
+    h = F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed))
     pdf = (
         embeddings.select(vec_col)
-        .sample(fraction=frac, seed=seed)
+        .filter(F.pmod(h, F.lit(ratio)) == 0)
         .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
         .limit(sample)
         .toPandas()

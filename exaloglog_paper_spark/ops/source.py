@@ -110,6 +110,18 @@ def scan_sketch_agg(
     return tree_merge(partials, spec, by=by, num_partials=num_p, fanin=fanin)
 
 
+def resolve_format(source: str, fmt: str = "auto") -> str:
+    """THE iceberg-vs-parquet 'auto' rule (single definition — the job and
+    read_tokens both call this so their decisions can't drift): a path
+    separator, a parquet-ish suffix, or an existing filesystem path means
+    parquet; otherwise a dotted name is an Iceberg catalog identifier."""
+    if fmt != "auto":
+        return fmt
+    if "/" in source or source.endswith((".parquet", ".pq")) or os.path.exists(source):
+        return "parquet"
+    return "iceberg" if "." in source else "parquet"
+
+
 def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
     """Load the pre-tokenized sequence table (doc_id, tokens:array<int32>,
     n_tok, source) — the BASELINE.json input_hint shape — from either an
@@ -126,11 +138,9 @@ def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFram
         (``ops.agg.sketch_agg``), not the pyarrow row-group scan, which is
         parquet-file-layout specific.
       - ``"parquet"``: ``source`` is a parquet file/directory.
-      - ``"auto"``: iceberg when ``source`` looks like a catalog identifier
-        (dotted, no path separator), else parquet.
+      - ``"auto"``: see :func:`resolve_format`.
     """
-    if fmt == "auto":
-        fmt = "iceberg" if ("/" not in source and "." in source) else "parquet"
+    fmt = resolve_format(source, fmt)
     if fmt == "iceberg":
         try:
             return spark.read.format("iceberg").load(source)

@@ -51,15 +51,17 @@ def main() -> None:
     )
     from exaloglog_paper_spark.ops.agg import sketch_agg
     from exaloglog_paper_spark.ops.checkpoints import checkpointed_sketch_agg
-    from exaloglog_paper_spark.ops.source import read_tokens, scan_sketch_agg
+    from exaloglog_paper_spark.ops.source import (
+        read_tokens,
+        resolve_format,
+        scan_sketch_agg,
+    )
 
     spark = SparkSession.builder.appName("distinct-tokens").getOrCreate()
     spec = ExaLogLogSpec(args.t, args.d, args.p)
     by = [c for c in args.by.split(",") if c]
     extractor = token_array_values("tokens")
-    fmt = args.format
-    if fmt == "auto":
-        fmt = "iceberg" if ("/" not in args.input and "." in args.input) else "parquet"
+    fmt = resolve_format(args.input, args.format)
     if args.checkpoint_dir:
         if fmt == "iceberg":
             raise SystemExit(

@@ -167,3 +167,59 @@ def test_bucket_size_cap_bounds_degenerate_corpus(spark):
     ).filter(F.col("word") != "")
     pairs = lsh_candidate_pairs(minhash_signatures(ok_words), max_bucket_size=100)
     assert pairs.count() == 3  # C(3,2)
+
+
+def test_capped_oracle_matches_engine_when_cap_binds(spark):
+    """The DuckDB oracle models the bucket cap's hub-star semantics, so it
+    must match the engine ON A CORPUS WHERE THE CAP ACTUALLY FIRES (the
+    sf0.01 gate never exercises it — no bucket exceeds 2000 there)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from exaloglog_paper_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = [(i, "the same mass duplicate body text") for i in range(120)]
+    docs += [(200 + i, f"unique document number {i} with words w{i} x{i} y{i}") for i in range(20)]
+    # a small near-dup pair that must survive via the normal (capped) join
+    docs += [(400, "alpha beta gamma delta epsilon"), (401, "alpha beta gamma delta zeta")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["source"] = "srcT"  # WORD_CTE selects it
+    sdf = spark.createDataFrame(pdf)
+
+    cap = 50
+    words = sdf.select(
+        "doc_id",
+        __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
+            __import__("pyspark.sql.functions", fromlist=["split"]).split(
+                __import__("pyspark.sql.functions", fromlist=["lower"]).lower(
+                    __import__("pyspark.sql.functions", fromlist=["col"]).col("text")
+                ),
+                "[^a-z0-9]+",
+            )
+        ).alias("word"),
+    ).filter("word != ''")
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(words), max_bucket_size=cap
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = f"""
+        WITH {entry.WORD_CTE},
+        {entry._MINHASH_SIG_CTES},
+        {entry._capped_cand_ctes(cap)}
+        SELECT id_a, id_b FROM cand
+    """
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want
+    # the mass-dup cluster arrives as a linear star, not 120*119/2 pairs
+    star_edges = {p for p in got if p[0] == 0}
+    assert len(star_edges) == 119
+    assert (400, 401) in got  # normal candidates unaffected by the cap
