@@ -265,3 +265,69 @@ def test_streaming_sketch_matches_batch(spark, tmp_path):
     # must match the batch result exactly
     for src_key, (est, n) in batch.items():
         assert got[src_key] == (est, n), src_key
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics: an event arriving LATER than the watermark must
+    be dropped from the streaming aggregation (batch, with no watermark,
+    keeps it). Two availableNow runs against one checkpoint — the watermark
+    persists in the checkpoint state between runs."""
+    import pandas as pd
+
+    from exaloglog_paper_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_events(rows, name):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id"])
+        spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: events up to 12:10 -> watermark after the run = 12:10 - 2h
+    write_events(
+        [("2026-01-01 09:30:00", "click", "u1"),
+         ("2026-01-01 12:10:00", "click", "u2")],
+        "b1",
+    )
+    schema = "ts timestamp, event_type string, user_id string"
+
+    def run_once():
+        # foreachBatch: the only update-mode sink that supports checkpoint
+        # recovery (the watermark lives in the checkpoint between runs)
+        emitted = []
+
+        def sink(df, epoch_id):
+            emitted.extend(df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(str(r.window_start), r.event_type): r.events for r in emitted}
+
+    run_once()
+    # run 2: one event 1 minute late beyond the watermark (09:31 < 10:10)
+    # and one on-time event
+    write_events(
+        [("2026-01-01 09:31:00", "click", "u3"),      # LATE -> dropped
+         ("2026-01-01 12:30:00", "view", "u4")],      # on time -> emitted
+        "b2",
+    )
+    got2 = run_once()
+    # the memory sink is fresh per run: only run-2 updates appear
+    assert ("2026-01-01 12:00:00", "view") in got2
+    assert not any(k[0] == "2026-01-01 09:00:00" for k in got2), got2
+    # batch (no watermark) DOES count the late event
+    batch = {
+        (str(r.window_start), r.event_type): r.events
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+    assert batch[("2026-01-01 09:00:00", "click")] == 2
