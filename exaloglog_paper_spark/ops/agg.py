@@ -328,9 +328,24 @@ def _by_schema_from_fields(fields) -> str:
     return "".join(parts) + PARTIAL_COLS
 
 
-def _build_partials_batches(batches, spec: "SketchSpec", extractor: "Extractor", by):
+def _build_partials_batches(
+    batches,
+    spec: "SketchSpec",
+    extractor: "Extractor",
+    by,
+    flush_groups: int = 65536,
+):
     """Shared stage-A builder: consume Arrow record batches, emit one partial
-    sketch row per group seen in this task (vectorized grouping)."""
+    sketch row per group seen in this task (vectorized grouping).
+
+    Map-side memory is BOUNDED regardless of group cardinality: once the
+    partial-state dict reaches ``flush_groups`` entries it is emitted and
+    reset (the downstream tree merge groups by key, so multiple partials
+    for the same group from one task merge exactly like partials from
+    different tasks — byte-identical results, pinned in tests). At 10^6+
+    groups a task therefore holds at most flush_groups x state_bytes
+    (~256 MB at p=10) instead of the whole group space.
+    """
     import pyarrow as pa
 
     by = list(by)
@@ -338,6 +353,37 @@ def _build_partials_batches(batches, spec: "SketchSpec", extractor: "Extractor",
     counts: dict = {}
     key_fields = None
     t0 = time.monotonic()
+
+    def emit():
+        nonlocal states, counts, t0
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        secs = time.monotonic() - t0
+        keys = list(states)
+        data = {}
+        fields = []
+        for i, c in enumerate(by):
+            f = key_fields[i]
+            data[c] = pa.array([k[i] for k in keys], type=f.type)
+            fields.append(pa.field(c, f.type))
+        data["sketch"] = pa.array(
+            [spec.serialize(states[k]) for k in keys], type=pa.binary()
+        )
+        data["n_values"] = pa.array([counts[k] for k in keys], type=pa.int64())
+        data["partition_id"] = pa.array([pid] * len(keys), type=pa.int64())
+        data["build_secs"] = pa.array([secs] * len(keys), type=pa.float64())
+        fields += [
+            pa.field("sketch", pa.binary()),
+            pa.field("n_values", pa.int64()),
+            pa.field("partition_id", pa.int64()),
+            pa.field("build_secs", pa.float64()),
+        ]
+        states, counts = {}, {}
+        t0 = time.monotonic()
+        return pa.RecordBatch.from_arrays(
+            [data[f.name] for f in fields], schema=pa.schema(fields)
+        )
+
     for batch in batches:
         if key_fields is None and by:
             key_fields = [batch.schema.field(c) for c in by]
@@ -391,32 +437,14 @@ def _build_partials_batches(batches, spec: "SketchSpec", extractor: "Extractor",
             st = states.get(key)
             states[key] = spec.add(st if st is not None else spec.empty(), seg)
             counts[key] = counts.get(key, 0) + (e_i - s_i)
-    tc = TaskContext.get()
-    pid = tc.partitionId() if tc is not None else 0
-    secs = time.monotonic() - t0
+        if by and len(states) >= flush_groups:
+            yield emit()
     if not states:
         if by:
             return
         states[()] = spec.empty()
         counts[()] = 0
-    keys = list(states)
-    data = {}
-    fields = []
-    for i, c in enumerate(by):
-        f = key_fields[i]
-        data[c] = pa.array([k[i] for k in keys], type=f.type)
-        fields.append(pa.field(c, f.type))
-    data["sketch"] = pa.array([spec.serialize(states[k]) for k in keys], type=pa.binary())
-    data["n_values"] = pa.array([counts[k] for k in keys], type=pa.int64())
-    data["partition_id"] = pa.array([pid] * len(keys), type=pa.int64())
-    data["build_secs"] = pa.array([secs] * len(keys), type=pa.float64())
-    fields += [
-        pa.field("sketch", pa.binary()),
-        pa.field("n_values", pa.int64()),
-        pa.field("partition_id", pa.int64()),
-        pa.field("build_secs", pa.float64()),
-    ]
-    yield pa.RecordBatch.from_arrays([data[f.name] for f in fields], schema=pa.schema(fields))
+    yield emit()
 
 
 def sketch_partials(

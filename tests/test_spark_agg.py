@@ -217,3 +217,29 @@ def test_read_tokens_parquet_and_iceberg_gating(spark):
     assert df.count() > 0
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_tokens(spark, "catalog.db.tokens", fmt="iceberg")
+
+
+def test_partial_flush_is_byte_identical(spark, tdf):
+    """Map-side memory bound: flushing the partial-state dict mid-task
+    (flush_groups tiny) must produce byte-identical final states — early
+    partials for a group merge exactly like partials from other tasks."""
+    from exaloglog_paper_spark.ops.agg import _build_partials_batches, tree_merge
+    import pyarrow as pa
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    ext = token_array_values("tokens")
+
+    def run(flush):
+        def fn(batches):
+            yield from _build_partials_batches(batches, spec, ext, ["source"], flush_groups=flush)
+
+        partials = tdf.mapInArrow(
+            fn, schema="source string, sketch binary, n_values long, partition_id long, build_secs double"
+        )
+        out = tree_merge(partials, spec, by=["source"], num_partials=8)
+        return {r.source: (bytes(r.sketch), r.n_values) for r in out.collect()}
+
+    a = run(2)          # forces many mid-task flushes
+    b = run(65536)      # default: one emit per task
+    assert a == b
+    assert len(a) == 5
