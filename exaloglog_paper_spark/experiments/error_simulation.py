@@ -136,3 +136,87 @@ def write_reference_style_csv(summary_pdf: pd.DataFrame, path: str, t: int, d: i
         f.write(";".join(cols) + "\n")
         for _, r in summary_pdf.iterrows():
             f.write(";".join(repr(float(r[c])) for c in cols) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# token-stream estimator error simulation
+# (≙ TokenEstimationErrorSimulation.java:71-233; CSV format of
+#  results/error/token-estimation-error-{v}.csv)
+# ---------------------------------------------------------------------------
+
+
+def simulate_token_errors(
+    spark: SparkSession,
+    v: int = 26,
+    num_cycles: int = 1000,
+    ladder: list[float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(rung, err, iters) rows for the sketch-free token-stream estimator:
+    per cycle, a growing prefix of a splitmix64 hash stream is tokenized
+    (computeToken) and estimated at each ladder rung — the same
+    incremental-prefix structure as the reference's per-cycle token arrays."""
+    from ..sketchlib.exaloglog import compute_token, estimate_distinct_from_tokens
+
+    if ladder is None:
+        ladder = geometric_ladder(100_000, ratio=2.0)
+    ladder = sorted(int(n) for n in ladder)
+    max_n = ladder[-1]
+
+    def run(iterator):
+        for pdf in iterator:
+            rows_rung, rows_err, rows_iters = [], [], []
+            for cycle in pdf["id"].tolist():
+                cycle_seed = int(
+                    splitmix64_stream((seed << 32) | 0x70CE, 1, offset=cycle)[0]
+                )
+                hashes = splitmix64_stream(cycle_seed, max_n)
+                tokens = compute_token(hashes, v)
+                for n in ladder:
+                    st = {}
+                    est = estimate_distinct_from_tokens(tokens[:n], v, stats=st)
+                    rows_rung.append(float(n))
+                    rows_err.append(est / n - 1.0)
+                    rows_iters.append(st.get("iterations", 0))
+            yield pd.DataFrame(
+                {"rung": rows_rung, "err": rows_err, "iters": rows_iters}
+            )
+
+    par = max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, num_cycles, 1, par).mapInPandas(
+        run, "rung double, err double, iters long"
+    )
+
+
+def token_error_summary(errors: DataFrame) -> DataFrame:
+    """Per-rung moments + solver stats (reference token-CSV columns)."""
+    return (
+        errors.groupBy("rung")
+        .agg(
+            F.count(F.lit(1)).alias("cycles"),
+            F.avg("err").alias("bias"),
+            F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+            F.min("iters").alias("min_iterations"),
+            F.avg("iters").alias("mean_iterations"),
+            F.max("iters").alias("max_iterations"),
+        )
+        .orderBy("rung")
+    )
+
+
+def write_token_csv(summary_pdf: pd.DataFrame, path: str, v: int, num_cycles: int) -> None:
+    """Reference token-error CSV shape: metadata line + semicolon columns
+    (distinct count; relative bias; relative rmse; min/mean/max num
+    iterations) — results/error/token-estimation-error-{v}.csv."""
+    with open(path, "w") as f:
+        f.write(f"token_parameter={v}; num_cycles={num_cycles}\n")
+        f.write(
+            "distinct count; relative bias; relative rmse; "
+            "min num iterations; mean num iterations; max num iterations\n"
+        )
+        for _, r in summary_pdf.iterrows():
+            f.write(
+                f"{float(r['rung'])!r}; {float(r['bias'])!r}; {float(r['rmse'])!r}; "
+                f"{int(r['min_iterations'])}; {float(r['mean_iterations'])!r}; "
+                f"{int(r['max_iterations'])}\n"
+            )

@@ -618,13 +618,17 @@ class ExaLogLog:
 # ---------------------------------------------------------------------------
 
 
-def estimate_distinct_from_tokens(tokens: np.ndarray, v: int = V_MAX) -> float:
+def estimate_distinct_from_tokens(
+    tokens: np.ndarray, v: int = V_MAX, stats: dict | None = None
+) -> float:
     """Estimate the distinct count directly from a token array.
 
     Vectorized form of the reference's sorted-stream algorithm: dedup via
     np.unique (the per-idx 64-bit-flag trick collapses to token uniqueness),
     histogram the nlz field, uint64-wraparound accumulator with the 0 ≡ 2^64
-    convention, then the shared ML solve scaled by 2^(v+1).
+    convention, then the shared ML solve scaled by 2^(v+1). ``stats``
+    receives the Newton ``iterations`` count (the reference records it per
+    rung in its token-error CSVs).
     """
     tok = as_u64(np.asarray(tokens))
     tok = np.unique(tok[is_valid_token(tok, v)])
@@ -638,6 +642,10 @@ def estimate_distinct_from_tokens(tokens: np.ndarray, v: int = V_MAX) -> float:
         a = (ZERO - np.sum(z >> jj, dtype=np.uint64)) & MASK64
     max_nonzero = int(np.max(jj))
     x = solve_maximum_likelihood_equation(
-        unsigned_to_double(int(a)) * pow2(-max_nlz_m1), b.tolist(), max_nonzero, 0.0
+        unsigned_to_double(int(a)) * pow2(-max_nlz_m1),
+        b.tolist(),
+        max_nonzero,
+        0.0,
+        stats=stats,
     )
     return x * pow2(v + 1)

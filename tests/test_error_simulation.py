@@ -257,3 +257,37 @@ def test_martingale_saturated_estimator_returns_infinity():
     assert est.state_change_probability == 0.0
     est.decrement_state_change_probability(0.0)
     assert math.isinf(est.distinct_count_estimate)
+
+
+def test_token_error_simulation_pipeline_and_csv(tmp_path, spark):
+    """Spark token-error pipeline: rmse at the 1e5-ish rung within
+    Monte-Carlo noise of the reference's published CSV value for v=12, and
+    the CSV artifact carries the reference's column set."""
+    import pandas as pd
+
+    from exaloglog_paper_spark.experiments.error_simulation import (
+        simulate_token_errors,
+        token_error_summary,
+        write_token_csv,
+    )
+
+    v = 12
+    errors = simulate_token_errors(
+        spark, v=v, num_cycles=150, ladder=[1000.0, 100_000.0], seed=5
+    )
+    pdf = token_error_summary(errors).toPandas()
+    row = pdf[pdf.rung == 100_000.0].iloc[0]
+    _, pub_rmse = _TOKEN_PUBLISHED[v]
+    assert abs(row.rmse / pub_rmse - 1) < 0.25, row.rmse
+    assert 1 <= row.mean_iterations <= 10
+    out = str(tmp_path / "tok.csv")
+    write_token_csv(pdf, out, v, 150)
+    with open(out) as f:
+        assert f.readline().startswith(f"token_parameter={v}; num_cycles=150")
+        cols = f.readline().strip().split("; ")
+        assert cols == [
+            "distinct count", "relative bias", "relative rmse",
+            "min num iterations", "mean num iterations", "max num iterations",
+        ]
+        back = pd.read_csv(out, sep=";", skiprows=1)
+        assert len(back) == 2
