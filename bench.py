@@ -165,6 +165,31 @@ def main() -> None:
 
     timed_min("ann_cosine_topk", q_ann)
 
+    def q_simhash():
+        from exaloglog_paper_spark.ops.queries import simhash_near_duplicates
+
+        return simhash_near_duplicates(spark, SF_DIR).count()
+
+    extras["simhash_pairs"] = timed_min(
+        "simhash_near_duplicates", q_simhash, clear_cache=True
+    )
+
+    def q_ngram():
+        from exaloglog_paper_spark.ops.queries import ngram_jaccard_near_duplicates
+
+        return ngram_jaccard_near_duplicates(spark, SF_DIR).count()
+
+    extras["ngram_jaccard_pairs"] = timed_min(
+        "ngram_jaccard_near_duplicates", q_ngram, clear_cache=True
+    )
+
+    def q_textq():
+        from exaloglog_paper_spark.ops.queries import text_quality_by_source
+
+        return text_quality_by_source(spark, SF_DIR).collect()
+
+    timed_min("text_quality_by_source", q_textq)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
