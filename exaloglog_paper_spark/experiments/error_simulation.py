@@ -93,21 +93,29 @@ def simulate_errors(
     )
 
 
-def error_summary(errors: DataFrame, t: int, d: int, p: int) -> DataFrame:
-    """Per-rung moments vs the published bound (plain Spark aggregates)."""
-    rse = theoretical_rse_ml(t, d, p)
+def _moment_summary(errors: DataFrame) -> DataFrame:
+    """Shared per-rung moments + solver stats (reference CSV cols 8-10,
+    ExaLogLogEstimationErrorSimulation.java:153-159,187-197) — ONE
+    definition for both the sketch and the token error CSVs."""
     return (
         errors.groupBy("rung")
         .agg(
             F.count(F.lit(1)).alias("cycles"),
             F.avg("err").alias("bias"),
             F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
-            # solver-health signal (reference CSV cols 8-10,
-            # ExaLogLogEstimationErrorSimulation.java:153-159,187-197)
             F.min("iters").alias("min_iterations"),
             F.avg("iters").alias("mean_iterations"),
             F.max("iters").alias("max_iterations"),
         )
+        .orderBy("rung")
+    )
+
+
+def error_summary(errors: DataFrame, t: int, d: int, p: int) -> DataFrame:
+    """Per-rung moments vs the published bound (plain Spark aggregates)."""
+    rse = theoretical_rse_ml(t, d, p)
+    return (
+        _moment_summary(errors)
         .withColumn("rse_theory", F.lit(rse))
         .withColumn("rmse_over_rse", F.col("rmse") / F.lit(rse))
         .orderBy("rung")
@@ -190,18 +198,7 @@ def simulate_token_errors(
 
 def token_error_summary(errors: DataFrame) -> DataFrame:
     """Per-rung moments + solver stats (reference token-CSV columns)."""
-    return (
-        errors.groupBy("rung")
-        .agg(
-            F.count(F.lit(1)).alias("cycles"),
-            F.avg("err").alias("bias"),
-            F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
-            F.min("iters").alias("min_iterations"),
-            F.avg("iters").alias("mean_iterations"),
-            F.max("iters").alias("max_iterations"),
-        )
-        .orderBy("rung")
-    )
+    return _moment_summary(errors)
 
 
 def write_token_csv(summary_pdf: pd.DataFrame, path: str, v: int, num_cycles: int) -> None:

@@ -333,7 +333,8 @@ def _build_partials_batches(
     spec: "SketchSpec",
     extractor: "Extractor",
     by,
-    flush_groups: int = 65536,
+    flush_groups: int = 16384,
+    num_partitions: int | None = None,
 ):
     """Shared stage-A builder: consume Arrow record batches, emit one partial
     sketch row per group seen in this task (vectorized grouping).
@@ -342,9 +343,18 @@ def _build_partials_batches(
     partial-state dict reaches ``flush_groups`` entries it is emitted and
     reset (the downstream tree merge groups by key, so multiple partials
     for the same group from one task merge exactly like partials from
-    different tasks — byte-identical results, pinned in tests). At 10^6+
-    groups a task therefore holds at most flush_groups x state_bytes
-    (~256 MB at p=10) instead of the whole group space.
+    different tasks — byte-identical results, pinned in tests with forced
+    mid-task flushes). In-memory states are UNPACKED register vectors
+    (2^p x 8 B + dict overhead — ~8 KB at p=10, not the ~3.5 KB serialized
+    form), and the threshold is checked per input batch, so the true bound
+    is ~2 x flush_groups x unpacked_state_bytes: ~256 MB at the 16384
+    default and p=10.
+
+    Each flush is stamped with a DISTINCT partition_id
+    (``pid + num_partitions * emit_index``) so the tree merge's
+    pmod-bucketing spreads a hot group's flushed partials across reducers
+    instead of funnelling them all into one (the fanin bound would
+    otherwise break for groups present in every flush window).
     """
     import pyarrow as pa
 
@@ -353,11 +363,15 @@ def _build_partials_batches(
     counts: dict = {}
     key_fields = None
     t0 = time.monotonic()
+    n_emits = 0
+    stride = num_partitions or 65536
 
     def emit():
-        nonlocal states, counts, t0
+        nonlocal states, counts, t0, n_emits
         tc = TaskContext.get()
-        pid = tc.partitionId() if tc is not None else 0
+        base_pid = tc.partitionId() if tc is not None else 0
+        pid = base_pid + stride * n_emits
+        n_emits += 1
         secs = time.monotonic() - t0
         keys = list(states)
         data = {}
@@ -469,9 +483,12 @@ def sketch_partials(
     df = df.select(*cols)  # column pruning reaches the scan
 
     schema = _by_schema(df, by) + PARTIAL_COLS
+    num_p = df.rdd.getNumPartitions()
 
     def build(batches):
-        yield from _build_partials_batches(batches, spec, extractor, by)
+        yield from _build_partials_batches(
+            batches, spec, extractor, by, num_partitions=num_p
+        )
 
     return df.mapInArrow(build, schema=schema)
 

@@ -79,7 +79,7 @@ def checkpointed_sketch_agg(
             "path string, row_group int",
         )
 
-        def run(batches, _cols=tuple(cols)):
+        def run(batches, _cols=tuple(cols), _num_p=par):
             split_rows = []
             for bt in batches:
                 for prow, grow in zip(
@@ -87,7 +87,11 @@ def checkpointed_sketch_agg(
                 ):
                     split_rows.append((prow, [grow]))
             yield from _build_partials_batches(
-                batch_iterator(split_rows, list(_cols)), spec, extractor, by
+                batch_iterator(split_rows, list(_cols)),
+                spec,
+                extractor,
+                by,
+                num_partitions=_num_p,
             )
 
         partials = sdf.mapInArrow(run, schema=schema).withColumn(

@@ -97,7 +97,11 @@ def scan_sketch_agg(
             for prow, grow in zip(b.column("path").to_pylist(), b.column("row_group").to_pylist()):
                 split_rows.append((prow, [grow]))
         yield from _build_partials_batches(
-            batch_iterator(split_rows, cols, batch_rows), spec, extractor, by
+            batch_iterator(split_rows, cols, batch_rows),
+            spec,
+            extractor,
+            by,
+            num_partitions=num_p,
         )
 
     # derive the by-columns' Spark types from the parquet schema

@@ -279,7 +279,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
     src = str(tmp_path / "late_src")
     ckpt = str(tmp_path / "late_ckpt")
 
-    def write_events(rows, name):
+    def write_events(rows):
         pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id"])
         spark.createDataFrame(pdf).withColumn(
             "ts", F.col("ts").cast("timestamp")
@@ -289,7 +289,6 @@ def test_watermark_drops_late_events(spark, tmp_path):
     write_events(
         [("2026-01-01 09:30:00", "click", "u1"),
          ("2026-01-01 12:10:00", "click", "u2")],
-        "b1",
     )
     schema = "ts timestamp, event_type string, user_id string"
 
@@ -319,7 +318,6 @@ def test_watermark_drops_late_events(spark, tmp_path):
     write_events(
         [("2026-01-01 09:31:00", "click", "u3"),      # LATE -> dropped
          ("2026-01-01 12:30:00", "view", "u4")],      # on time -> emitted
-        "b2",
     )
     got2 = run_once()
     # the memory sink is fresh per run: only run-2 updates appear

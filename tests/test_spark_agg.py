@@ -222,24 +222,79 @@ def test_read_tokens_parquet_and_iceberg_gating(spark):
 def test_partial_flush_is_byte_identical(spark, tdf):
     """Map-side memory bound: flushing the partial-state dict mid-task
     (flush_groups tiny) must produce byte-identical final states — early
-    partials for a group merge exactly like partials from other tasks."""
-    from exaloglog_paper_spark.ops.agg import _build_partials_batches, tree_merge
+    partials for a group merge exactly like partials from other tasks.
+
+    The direct-builder phase feeds MULTIPLE Arrow batches with recurring
+    groups so one 'task' genuinely emits several partials containing the
+    SAME group (the flush check runs per input batch — a single-batch task
+    never flushes mid-group and would leave the invariant unexercised)."""
     import pyarrow as pa
 
+    from exaloglog_paper_spark.ops.agg import (
+        _build_partials_batches,
+        hash64_values,
+        tree_merge,
+    )
+
     spec = ExaLogLogSpec(2, 20, 8)
-    ext = token_array_values("tokens")
+
+    # phase 1: direct builder, same group across many flushed emits
+    ext = hash64_values("h")
+
+    def mk(keys, vals):
+        return pa.record_batch(
+            {"k": pa.array(keys, pa.string()), "h": pa.array(vals, pa.int64())}
+        )
+
+    batches = [
+        mk(["a", "b", "c"], [1, 2, 3]),
+        mk(["a", "d"], [4, 5]),
+        mk(["a", "b", "e"], [6, 7, 8]),
+        mk(["f", "a"], [9, 10]),
+    ]
+
+    def collect(flush):
+        out = {}
+        emits = 0
+        stamps = set()
+        for rb in _build_partials_batches(
+            iter(batches), spec, ext, ["k"], flush_groups=flush, num_partitions=4
+        ):
+            emits += 1
+            for i in range(rb.num_rows):
+                k = rb.column("k")[i].as_py()
+                st = spec.deserialize(rb.column("sketch")[i].as_py())
+                prev = out.get(k)
+                out[k] = spec.merge(prev, st) if prev is not None else st
+                stamps.add(rb.column("partition_id")[i].as_py())
+        return (
+            {k: spec.serialize(v) for k, v in out.items()},
+            emits,
+            stamps,
+        )
+
+    flushed, n_emits, stamps = collect(1)
+    single, n_single, _ = collect(10**9)
+    assert n_emits >= 4 and n_single == 1  # group 'a' spans several emits
+    assert flushed == single  # byte-identical after merging
+    # every emit carries a DISTINCT partition_id stamp so the tree merge's
+    # pmod bucketing spreads a hot group's flushed partials across reducers
+    assert len(stamps) == n_emits
+
+    # phase 2: end-to-end through Spark + tree merge
+    ext2 = token_array_values("tokens")
 
     def run(flush):
-        def fn(batches):
-            yield from _build_partials_batches(batches, spec, ext, ["source"], flush_groups=flush)
+        def fn(bs):
+            yield from _build_partials_batches(
+                bs, spec, ext2, ["source"], flush_groups=flush, num_partitions=8
+            )
 
         partials = tdf.mapInArrow(
-            fn, schema="source string, sketch binary, n_values long, partition_id long, build_secs double"
+            fn,
+            schema="source string, sketch binary, n_values long, partition_id long, build_secs double",
         )
         out = tree_merge(partials, spec, by=["source"], num_partials=8)
         return {r.source: (bytes(r.sketch), r.n_values) for r in out.collect()}
 
-    a = run(2)          # forces many mid-task flushes
-    b = run(65536)      # default: one emit per task
-    assert a == b
-    assert len(a) == 5
+    assert run(2) == run(65536)
