@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mass_duplicate_clusters": Q.mass_duplicate_clusters,
         "simhash_near_duplicates": Q.simhash_near_duplicates,
         "jaccard_near_duplicates": Q.jaccard_near_duplicates,
+        "near_duplicate_groups": Q.near_duplicate_groups,
         "ngram_jaccard_near_duplicates": Q.ngram_jaccard_near_duplicates,
         "token_count_summary": Q.token_count_summary,
         "embedding_near_duplicates": Q.embedding_near_duplicates,
@@ -239,6 +240,25 @@ _JACCARD_TAIL = """wsets AS (SELECT DISTINCT doc_id, word FROM words),
             JOIN sizes sa ON sa.doc_id = i2.id_a
             JOIN sizes sb ON sb.doc_id = i2.id_b
             WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8"""
+
+# same verification as _JACCARD_TAIL but packaged as a `pairs` CTE for
+# downstream graph queries (connected components)
+_JACCARD_PAIRS_CTE = """wsets AS (SELECT DISTINCT doc_id, word FROM words),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM wsets GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS i
+                FROM cand c
+                JOIN wsets wa ON wa.doc_id = c.id_a
+                JOIN wsets wb ON wb.doc_id = c.id_b AND wb.word = wa.word
+                GROUP BY c.id_a, c.id_b
+            ),
+            pairs AS (
+                SELECT i2.id_a, i2.id_b
+                FROM inter i2
+                JOIN sizes sa ON sa.doc_id = i2.id_a
+                JOIN sizes sb ON sb.doc_id = i2.id_b
+                WHERE round(i2.i / (sa.sz + sb.sz - i2.i), 6) >= 0.8
+            )"""
 
 _SHINGLE_CTE = """doc_ws AS (
                 SELECT doc_id,
@@ -500,6 +520,30 @@ def oracle_sql() -> dict[str, str]:
             {_MINHASH_SIG_CTES},
             {_capped_cand_ctes()},
             {_JACCARD_TAIL}
+        """,
+        # connected components over the verified-pair graph: recursive
+        # transitive closure, component = min reachable id (mirrors the
+        # engine's min-label propagation in ops/dedup.connected_components)
+        "near_duplicate_groups": f"""
+            WITH RECURSIVE {WORD_CTE},
+            {_MINHASH_SIG_CTES},
+            {_capped_cand_ctes()},
+            {_JACCARD_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT component, count(*) AS members
+            FROM comp GROUP BY component
         """,
         "embedding_near_duplicates": """
             WITH emb AS (

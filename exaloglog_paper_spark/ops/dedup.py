@@ -341,3 +341,63 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) pair table: one
+    (id, component) row per vertex, component = min id reachable.
+
+    Min-label propagation: each round joins every vertex's current label
+    against its neighbors' and keeps the minimum, stopping when a round
+    changes nothing. Rounds needed = graph diameter in label-hops, which is
+    O(log |C|) thanks to the doubling effect of propagating through the
+    already-minimized labels — and the LSH star edges keep mass-duplicate
+    clusters at diameter 2 by construction. Each round is one shuffle of
+    (vertex, label) pairs; each round's labels are ``localCheckpoint``-ed,
+    which truncates BOTH execution lineage and the logical plan — persist
+    alone leaves the plan growing per round and Catalyst re-analysis goes
+    super-linear after a handful of iterations.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

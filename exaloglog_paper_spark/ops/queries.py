@@ -535,6 +535,20 @@ def jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verified_pairs(words, cands, threshold=0.8)
 
 
+def near_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    Jaccard >= 0.8 pair graph — the unit a dedup pipeline actually keeps
+    one representative of. Output: (component = min doc_id reachable,
+    members). Spark side is iterative min-label propagation
+    (dedup.connected_components); the DuckDB oracle computes the same
+    components with a recursive transitive-closure CTE."""
+    from .dedup import connected_components
+
+    pairs = jaccard_near_duplicates(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("members"))
+
+
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware near-dup pairs: 3-word-shingle sets through the SAME
     MinHash/LSH/exact-Jaccard pipeline (threshold 0.8). Word-set Jaccard is

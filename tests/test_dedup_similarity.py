@@ -223,3 +223,25 @@ def test_capped_oracle_matches_engine_when_cap_binds(spark):
     star_edges = {p for p in got if p[0] == 0}
     assert len(star_edges) == 119
     assert (400, 401) in got  # normal candidates unaffected by the cap
+
+
+def test_connected_components_chain_and_stars(spark):
+    """Min-label propagation: a 6-hop chain (needs several rounds), two
+    separate stars, and an isolated pair all resolve to min-id components."""
+    from exaloglog_paper_spark.ops.dedup import connected_components
+
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(6)]         # chain c0..c6
+        + [("s0", f"s{i}") for i in range(1, 5)]          # star at s0
+        + [("t5", "t9"), ("t5", "t7")]                    # star at t5
+        + [("x1", "x2")]
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert all(comp[f"c{i}"] == "c0" for i in range(7))
+    assert all(comp[f"s{i}"] == "s0" for i in range(5))
+    assert comp["t5"] == comp["t7"] == comp["t9"] == "t5"
+    assert comp["x1"] == comp["x2"] == "x1"
+    # idempotence: rerunning on the same graph gives the same labels
+    comp2 = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == comp2
