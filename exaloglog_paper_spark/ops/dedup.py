@@ -27,16 +27,12 @@ keeps mass-duplicate clusters connected for downstream dedup grouping at
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 NUM_MINHASHES = 8
 BAND_SIZE = 2
 MAX_BUCKET_SIZE = 2000
-
-logger = logging.getLogger(__name__)
 
 
 def _cap_bucket_size(
