@@ -1,0 +1,76 @@
+"""Per-op kernel microbenchmarks — the repo-side counterpart of the
+reference's JMH table (BASELINE.md: insert 25.4 ns/elem, merge 3.52 us,
+estimate 6.02 us, serialize 0.30 us on a dedicated c5.metal).
+
+Prints ONE JSON line; reproduces the per-op numbers quoted in
+BENCH/BASELINE.md. Usage: python scripts/microbench.py [--n 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from exaloglog_paper_spark.ops.agg import ExaLogLogSpec  # noqa: E402
+from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream  # noqa: E402
+from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLog  # noqa: E402
+
+
+def best_of(fn, reps=7):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--t", type=int, default=2)
+    ap.add_argument("--d", type=int, default=20)
+    ap.add_argument("--p", type=int, default=8)  # reference JMH config (2,20,8)
+    args = ap.parse_args()
+    t, d, p = args.t, args.d, args.p
+    n = args.n
+    hashes = splitmix64_stream(1, n)
+
+    out = {"config": f"ExaLogLog({t},{d},{p})", "n": n}
+    # batch insert incl. hashing-free path (pre-hashed, like the JMH loop)
+    out["insert_ns_per_element"] = round(
+        best_of(lambda: ExaLogLog.create(t, d, p).add_hashes(hashes)) / n * 1e9, 1
+    )
+
+    a = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(2, 100_000))
+    b = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(3, 100_000))
+    out["merge_us"] = round(best_of(lambda: a.copy().merge_(b), reps=200) * 1e6, 1)
+    out["estimate_us"] = round(best_of(lambda: a.estimate(), reps=200) * 1e6, 1)
+    out["serialize_us"] = round(best_of(lambda: a.serialize(), reps=200) * 1e6, 1)
+    state = a.serialize()
+    out["deserialize_us"] = round(
+        best_of(lambda: ExaLogLog.wrap(t, d, state), reps=200) * 1e6, 1
+    )
+
+    # batched estimation over many serialized states (finalize_batch path)
+    spec = ExaLogLogSpec(t, d, p)
+    states = []
+    for i in range(512):
+        sk = ExaLogLog.create(t, d, p)
+        sk.add_hashes(splitmix64_stream(i + 10, 3000))
+        states.append(sk.serialize())
+    out["estimate_batched_us_per_state"] = round(
+        best_of(lambda: spec.finalize_batch(states), reps=5) / len(states) * 1e6, 1
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
