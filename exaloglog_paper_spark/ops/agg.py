@@ -531,6 +531,19 @@ def tree_merge(
 
     ``num_partials`` = number of stage-A input partitions (known at plan
     time); with P partials we add ⌈log_fanin(P)⌉ - 1 intermediate levels.
+
+    Bound caveat under map-side flushing: stage A stamps each mid-task
+    flush with a distinct partition_id (pid + stride*emit), so a task that
+    flushes E times contributes up to E states per group — a first-level
+    bucket then sees ~E×fanin states, not fanin. The flush stamps spread
+    those states ACROSS buckets (pmod of distinct ids), so the overload is
+    even, and each extra state costs one O(m) register-fold merge (~25 µs)
+    — flushing only triggers at >=16384 live groups per task, where the
+    per-group state count per task is near 1 and E stays small. Callers
+    expecting pathological flushing (huge group cardinality × huge tasks)
+    can lower ``fanin`` to restore headroom; the merge algebra keeps the
+    result byte-identical regardless (pinned by the multi-batch flush
+    byte-identity test).
     """
     by = list(by)
     if not by:

@@ -200,16 +200,31 @@ def jaccard_verified_pairs(
 ) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs; keeps pairs >= threshold.
 
-    Plan: aggregate each doc's distinct words into ONE array row (single
-    shuffle on id), then drive two id-equi-joins from the candidate list and
-    compute |A∩B| with JVM ``array_intersect`` inside whole-stage codegen.
-    The former word-level join exploded candidates x words into ~10^9
-    intermediate rows at sf0.1 (29-45 s); the array plan shuffles one row
-    per doc + one row per candidate pair and runs 4-5x faster. Never joins
-    across the full corpus — only the candidate list.
+    Plan: SEMI-JOIN-PRUNE the word table to docs that appear in the
+    candidate list, aggregate each surviving doc's distinct words into ONE
+    array row (single shuffle on id), then drive two id-equi-joins from the
+    candidate list and compute |A∩B| with JVM ``array_intersect`` inside
+    whole-stage codegen. The former word-level join exploded candidates x
+    words into ~10^9 intermediate rows at sf0.1 (29-45 s); the array plan
+    shuffles one row per doc + one row per candidate pair. The semi-join
+    prune is the 100 TB contract: without it the ``collect_set`` shuffled
+    and persisted distinct-word arrays for the WHOLE corpus to verify a
+    candidate set that is typically orders of magnitude smaller — the
+    candidate-id list is small enough to broadcast, so the prune reaches
+    the word scan as a broadcast semi-join, and only candidate docs are
+    aggregated or cached.
     """
+    # candidates feed both the id-prune and the verification joins — persist
+    # so the LSH band join isn't recomputed per branch
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     ws = (
-        words.groupBy(id_col)
+        words.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
         .agg(F.collect_set(word_col).alias("wset"))
         .withColumn("sz", F.size("wset"))
         .persist()
@@ -342,50 +357,86 @@ def simhash_near_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an (id_a, id_b) pair table: one
     (id, component) row per vertex, component = min id reachable.
 
-    Min-label propagation: each round joins every vertex's current label
-    against its neighbors' and keeps the minimum, stopping when a round
-    changes nothing. Rounds needed = graph diameter in label-hops, which is
-    O(log |C|) thanks to the doubling effect of propagating through the
-    already-minimized labels — and the LSH star edges keep mass-duplicate
-    clusters at diameter 2 by construction. Each round is one shuffle of
-    (vertex, label) pairs; each round's labels are ``localCheckpoint``-ed,
-    which truncates BOTH execution lineage and the logical plan — persist
-    alone leaves the plan growing per round and Catalyst re-analysis goes
-    super-linear after a handful of iterations.
+    Min-label propagation with POINTER JUMPING: each round (a) joins every
+    vertex's current label against its neighbors' and keeps the minimum,
+    then (b) shortcuts label-of-label (component' = label(component)), which
+    halves remaining path lengths, so convergence is O(log diameter) rounds
+    — not the O(diameter) of plain neighbor propagation, which would
+    silently under-merge long near-dup chains at max_iterations. The LSH
+    star edges additionally keep mass-duplicate clusters at diameter 2 by
+    construction. If the label table still changes after ``max_iterations``
+    rounds, a ``RuntimeError`` is raised — a split component is a silent
+    correctness bug for dedup, never an acceptable truncation.
+
+    Each round is one shuffle of (vertex, label) pairs; each round's labels
+    are checkpointed, truncating BOTH execution lineage and the logical plan
+    — persist alone leaves the plan growing per round and Catalyst
+    re-analysis goes super-linear after a handful of iterations.
+
+    ``checkpoint_dir``: when None (default, right for local/interactive
+    use), rounds use ``localCheckpoint`` — fast, but blocks live on
+    executors non-replicated, so an executor loss mid-iteration kills the
+    job. On a real cluster pass a (DFS) directory: each round's labels are
+    spilled to ``{checkpoint_dir}/cc_round_{i}`` parquet and re-read, making
+    every round durable and the whole iteration resumable after executor
+    loss. Label tables are (id, component) longs/strings — KB-to-GB even at
+    10^12 docs' near-dup subgraph, so the parquet round-trip is cheap
+    relative to the edge join.
     """
-    edges = (
+    round_no = [0]
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{checkpoint_dir}/cc_round_{round_no[0]}"
+        round_no[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
-            .select(
+        propagated = labels.join(
+            neighbor_min.withColumnRenamed("src", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", "component")
+            ).alias("component"),
+        )
+        # pointer jumping: component' = label(component). Labels only ever
+        # decrease and label(x) <= x, so the shortcut is monotone-safe.
+        parent = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("parent")
+        )
+        new_labels = ckpt(
+            propagated.join(parent, "component", "left").select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
+                    F.col("component"), F.coalesce("parent", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -395,5 +446,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — with pointer jumping that means component diameter "
+            f"> 2^{max_iterations}; raise max_iterations"
+        )
     return labels

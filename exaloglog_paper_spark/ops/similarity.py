@@ -91,7 +91,10 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", nbits: int = 8, seed: int = 7, dim: int | None = None
 ) -> DataFrame:
-    """Attach the sign-random-projection bucket id (int in [0, 2^nbits))."""
+    """Attach the sign-random-projection bucket id (int in [0, 2^nbits)).
+
+    Pass ``dim`` whenever known — the fallback costs one driver job probing
+    the first row of ``df``."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, nbits, seed)
@@ -243,10 +246,17 @@ def lsh_cosine_topk(
     nbits: int = 8,
     probe_hamming: int = 2,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors in LSH buckets within
-    ``probe_hamming`` of the query's bucket (multi-probe sign-LSH)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    ``probe_hamming`` of the query's bucket (multi-probe sign-LSH).
+
+    Pass ``dim`` when known (it usually is — embedding width is a pipeline
+    constant) to avoid the one-row probe job; the fallback probes the
+    *queries* side, which is small by contract, never the embeddings table.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
     base = with_lsh_bucket(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
         "vec", nbits, seed, dim,

@@ -118,12 +118,15 @@ def resolve_format(source: str, fmt: str = "auto") -> str:
     """THE iceberg-vs-parquet 'auto' rule (single definition — the job and
     read_tokens both call this so their decisions can't drift): a path
     separator, a parquet-ish suffix, or an existing filesystem path means
-    parquet; otherwise a dotted name is an Iceberg catalog identifier."""
+    parquet; otherwise only the full ``catalog.db.table`` two-dot shape is
+    an Iceberg identifier. A single-dot relative name that doesn't exist
+    yet (``tokens.v2``, a typo'd path) resolves to parquet so the reader's
+    error talks about the path the user actually meant."""
     if fmt != "auto":
         return fmt
     if "/" in source or source.endswith((".parquet", ".pq")) or os.path.exists(source):
         return "parquet"
-    return "iceberg" if "." in source else "parquet"
+    return "iceberg" if source.count(".") >= 2 else "parquet"
 
 
 def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
@@ -152,6 +155,7 @@ def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFram
             raise RuntimeError(
                 f"cannot read Iceberg table {source!r}: is "
                 "iceberg-spark-runtime on the classpath and the catalog "
-                f"configured? ({e})"
+                "configured? (if this was meant as a parquet path, pass "
+                f"fmt='parquet') ({e})"
             ) from e
     return spark.read.parquet(source)

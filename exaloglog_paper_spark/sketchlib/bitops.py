@@ -13,7 +13,15 @@ math) use plain Python ints, which are arbitrary-precision and safe.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
+
+# The windowed-gather register unpack fast paths reinterpret byte windows
+# via .view(np.uint64), which is only correct little-endian; on a
+# (hypothetical) big-endian host they transparently fall back to the
+# unpackbits path instead of silently decoding garbage.
+_LITTLE_ENDIAN = sys.byteorder == "little"
 
 U64 = np.uint64
 MASK64 = U64(0xFFFFFFFFFFFFFFFF)
@@ -145,9 +153,11 @@ def unpack_registers(data: bytes, width: int, m: int) -> np.ndarray:
 
     width <= 57 takes the windowed-gather fast path (8-byte little-endian
     window per register, shift + mask) — ``wrap`` sits on the merge hot path
-    of every distributed aggregation, so no per-bit expansion here."""
+    of every distributed aggregation, so no per-bit expansion here. The
+    fast path requires a little-endian host (enforced, see
+    ``_LITTLE_ENDIAN``); otherwise the unpackbits path below is used."""
     raw = np.frombuffer(data, dtype=np.uint8)
-    if width <= 57:
+    if width <= 57 and _LITTLE_ENDIAN:
         buf = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
         bitpos = np.arange(m, dtype=np.int64) * width
         byte_off = bitpos >> 3
@@ -170,7 +180,9 @@ def unpack_registers_batch(data2d: "np.ndarray", width: int, m: int) -> "np.ndar
     unpackbits at ELL register widths. This is the deserialization stage of
     batched estimation over many group states.
     """
-    if width > 57:  # a 64-bit window can't span bit_rem + width bits
+    # width > 57: a 64-bit window can't span bit_rem + width bits;
+    # big-endian: the .view(uint64) reinterpretation would be wrong
+    if width > 57 or not _LITTLE_ENDIAN:
         return np.stack(
             [unpack_registers(row.tobytes(), width, m) for row in data2d]
         )

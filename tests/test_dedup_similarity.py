@@ -245,3 +245,51 @@ def test_connected_components_chain_and_stars(spark):
     # idempotence: rerunning on the same graph gives the same labels
     comp2 = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == comp2
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir path (durable parquet spill per round — the real-
+    cluster mode where an executor loss must not kill the iteration) gives
+    byte-identical components to the localCheckpoint default."""
+    import os
+
+    from exaloglog_paper_spark.ops.dedup import connected_components
+
+    edges = [(f"c{i}", f"c{i+1}") for i in range(6)] + [("x1", "x2")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    local = {r.id: r.component for r in connected_components(pairs).collect()}
+    ckdir = str(tmp_path / "cc")
+    durable = {
+        r.id: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert local == durable
+    # the durable path really spilled its rounds to disk
+    assert any(n.startswith("cc_round_") for n in os.listdir(ckdir))
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-hop chain: plain neighbor min-propagation needs ~64 rounds;
+    pointer jumping (label-of-label shortcut) resolves distance 2^k-1 by
+    round k, so 10 rounds suffice with margin."""
+    from exaloglog_paper_spark.ops.dedup import connected_components
+
+    edges = [(f"v{i:03d}", f"v{i+1:03d}") for i in range(64)]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    comp = {
+        r.id: r.component
+        for r in connected_components(pairs, max_iterations=10).collect()
+    }
+    assert set(comp.values()) == {"v000"}
+    assert len(comp) == 65
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A split component must never be returned silently (ADVICE r2): when
+    the label table still changes at max_iterations, raise."""
+    from exaloglog_paper_spark.ops.dedup import connected_components
+
+    edges = [(f"v{i:03d}", f"v{i+1:03d}") for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)

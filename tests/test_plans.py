@@ -99,6 +99,18 @@ def test_dedup_plans_have_partial_aggregation(spark, query_name):
     assert "partial_" in plan, plan
 
 
+def test_jaccard_wordset_agg_is_candidate_pruned(spark):
+    """The exact-Jaccard verification must aggregate word sets ONLY for docs
+    in the candidate list (VERDICT r2 item 1): the collect_set aggregate's
+    input carries a LeftSemi join against the candidate ids, so the
+    full-corpus word table is never shuffled or cached for verification."""
+    df = Q.jaccard_near_duplicates(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    # and the prune is a broadcast, not a full shuffle of the word table
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_quantile_bound_checks_are_single_pass(spark):
     """The KLL/t-digest bound verification must run ONE verification job
     (count + all rank checks + exact percentiles in a single agg), not a

@@ -217,6 +217,15 @@ def test_read_tokens_parquet_and_iceberg_gating(spark):
     assert df.count() > 0
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_tokens(spark, "catalog.db.tokens", fmt="iceberg")
+    # 'auto' rule: only the catalog.db.table two-dot shape means Iceberg —
+    # a single-dot relative name that doesn't exist yet is a parquet path
+    # (so its error talks about the path, not a phantom catalog)
+    from exaloglog_paper_spark.ops.source import resolve_format
+
+    assert resolve_format("catalog.db.tokens") == "iceberg"
+    assert resolve_format("tokens.v2") == "parquet"
+    assert resolve_format("data/not_yet_written.parquet") == "parquet"
+    assert resolve_format("tokens.v2", fmt="iceberg") == "iceberg"
 
 
 def test_partial_flush_is_byte_identical(spark, tdf):
