@@ -54,6 +54,7 @@ def main() -> None:
     tdf = materialize_token_table(spark, sf_name)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list] = {}
     extras: dict[str, float] = {}
 
     def timed(name: str, fn):
@@ -66,16 +67,22 @@ def main() -> None:
         """min-of-N timing: the box is shared with co-tenants, so a single
         run is load noise, not signal — round-over-round deltas compare
         minima. clear_cache drops internally persisted intermediates between
-        reps so every rep re-persists (same work measured each time)."""
-        best, out = None, None
+        reps so every rep re-persists (same work measured each time).
+        The full [min, max] spread and the cache policy are reported
+        alongside (VERDICT r2 item 2) so a self-reported min and an
+        external single-shot measurement can't diverge silently: the
+        external number should land within [min, max]."""
+        best, worst, out = None, None, None
         for i in range(reps):
             t0 = time.monotonic()
             out = fn()
             el = round(time.monotonic() - t0, 3)
             best = el if best is None else min(best, el)
+            worst = el if worst is None else max(worst, el)
             if clear_cache:
                 spark.catalog.clearCache()
         timings[name] = best
+        spreads[name] = [best, worst, "cold-persists" if clear_cache else "warm"]
         return out
 
     spec = ExaLogLogSpec(2, 20, 10)
@@ -198,6 +205,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spreads": spreads,
                 "sf": sf_name,
                 "cpus": CPUS,
                 **extras,

@@ -5,6 +5,11 @@ Stages (each independently skippable):
   exact    — md5 content digests, keep-first dedup accounting
   minhash  — MinHash(8) + LSH(4x2) candidate pairs
   verify   — exact word-set Jaccard >= --threshold over the candidates
+  cluster  — connected components over the verified pairs (one row per
+             doc: its near-dup component). Pass --checkpoint-dir (a DFS
+             path on real clusters) to make each label-propagation round
+             durable/resumable; without it rounds use localCheckpoint
+             (fine locally, lost on executor failure).
 
 Usage:
 
@@ -32,14 +37,26 @@ WORD_SPLIT_RE = "[^a-z0-9]+"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--stage", choices=["exact", "minhash", "verify"], default="verify")
+    ap.add_argument(
+        "--stage",
+        choices=["exact", "minhash", "verify", "cluster"],
+        default="verify",
+    )
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--output", default="")
+    ap.add_argument(
+        "--checkpoint-dir",
+        default="",
+        help="durable per-round checkpoint dir for --stage cluster "
+        "(parquet spill; required for executor-loss resilience on real "
+        "clusters)",
+    )
     args = ap.parse_args()
 
     from exaloglog_paper_spark.ops.dedup import (
+        connected_components,
         exact_duplicate_groups,
         jaccard_verified_pairs,
         lsh_candidate_pairs,
@@ -64,6 +81,10 @@ def main() -> None:
             out = jaccard_verified_pairs(
                 words, cands, args.id_col, threshold=args.threshold
             )
+            if args.stage == "cluster":
+                out = connected_components(
+                    out, checkpoint_dir=args.checkpoint_dir or None
+                )
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     else:

@@ -53,6 +53,12 @@ def main() -> None:
     b = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(3, 100_000))
     out["merge_us"] = round(best_of(lambda: a.copy().merge_(b), reps=200) * 1e6, 1)
     out["estimate_us"] = round(best_of(lambda: a.estimate(), reps=200) * 1e6, 1)
+    # combined op, mirroring the reference's MergeAndEstimationTest.java:74-84
+    # JMH op (published 9.41 us for ELL(2,20,8)): fresh merged sketch (copy,
+    # like the static merge's allocation) then the ML estimate
+    out["merge_and_estimate_us"] = round(
+        best_of(lambda: a.copy().merge_(b).estimate(), reps=200) * 1e6, 1
+    )
     out["serialize_us"] = round(best_of(lambda: a.serialize(), reps=200) * 1e6, 1)
     state = a.serialize()
     out["deserialize_us"] = round(

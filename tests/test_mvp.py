@@ -44,6 +44,15 @@ def test_exaloglog_mvp_matches_published(spark):
     assert abs(r["bias"]) < 5 * r["rmse"] / 20  # bias ~ 0 at 400 cycles
 
 
+def test_exaloglog_2_24_8_mvp_matches_published(spark):
+    """The second reproducible ELL config from the paper's empirical-MVP
+    grid (results/comparison-empirical-mvp/'ExaLogLog (t = 2, d = 24,
+    p = 8).csv' last row): MVP 3.787 at 32-bit registers -> 1024 B."""
+    r = empirical_mvp(spark, 2, 24, 8, n=1_000_000.0, num_cycles=400, seed=5)
+    assert r["state_bytes"] == 1024
+    assert r["mvp"] == pytest.approx(3.787, rel=0.2), r
+
+
 def test_hll_mvp_matches_published_and_worse_than_ell(spark):
     # HLL = t=0, d=0 shared kernel; p=11 -> 6-bit registers, 1536 B
     r = empirical_mvp(spark, 0, 0, 11, n=1_000_000.0, num_cycles=1000, seed=2)

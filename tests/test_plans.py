@@ -131,6 +131,34 @@ def test_quantile_bound_checks_are_single_pass(spark):
     assert after - before <= 6, f"too many total jobs: {after - before}"
 
 
+def test_ivf_partitioned_probe_prunes_partitions(spark, tmp_path):
+    """The IVF scale path (ops/similarity.py docstring): embeddings written
+    partitioned by ivf_cell let a probe read ONLY the probed cells' files —
+    the partition filter must appear in the scan (PartitionFilters), not as
+    a post-scan Filter over all files."""
+    from pyspark.sql import functions as F
+
+    from exaloglog_paper_spark.ops.similarity import (
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    path = str(tmp_path / "emb_by_cell")
+    with_ivf_cell(emb, cent).write.partitionBy("ivf_cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("ivf_cell").isin(0, 1))
+    plan = _plan(probed)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ivf_cell" in pf[0], plan
+    # directory-pruned scan returns only the probed cells
+    cells = {r.ivf_cell for r in probed.select("ivf_cell").distinct().collect()}
+    assert cells <= {0, 1}
+
+
 def test_bloom_verification_never_collects_data_columns(spark):
     """Bloom bound check must aggregate (members, false_negs, fps)
     distributed — the only driver-side results are KB-sized sketch rows and
