@@ -494,7 +494,7 @@ def oracle_sql() -> dict[str, str]:
             {_capped_cand_ctes()},
             {_JACCARD_TAIL}
         """,
-        "token_count_summary": """
+        "token_count_summary": r"""
             WITH per_doc AS (
                 SELECT source,
                        len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
