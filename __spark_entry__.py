@@ -72,11 +72,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_duplicates": Q.simhash_near_duplicates,
         "jaccard_near_duplicates": Q.jaccard_near_duplicates,
         "near_duplicate_groups": Q.near_duplicate_groups,
+        "near_duplicate_keep_list": Q.near_duplicate_keep_list,
         "ngram_jaccard_near_duplicates": Q.ngram_jaccard_near_duplicates,
         "token_count_summary": Q.token_count_summary,
         "embedding_near_duplicates": Q.embedding_near_duplicates,
         "ann_cosine_topk": Q.ann_cosine_topk,
         "ivf_ann_recall_bound": Q.ivf_ann_recall_bound,
+        "lsh_ann_recall_bound": Q.lsh_ann_recall_bound,
         "multimodal_media_stats": Q.multimodal_media_stats,
         "streaming_batch_parity": Q.streaming_batch_parity,
         "checkpoint_resume_invariant": Q.checkpoint_resume_invariant,
@@ -545,6 +547,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, count(*) AS members
             FROM comp GROUP BY component
         """,
+        # keep-first near-dup dedup decision: same recursive components,
+        # keep component representatives (id == component) + docs in no
+        # component, per-source accounting
+        "near_duplicate_keep_list": f"""
+            WITH RECURSIVE {WORD_CTE},
+            {_MINHASH_SIG_CTES},
+            {_capped_cand_ctes()},
+            {_JACCARD_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS id, least(src, min(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT d.source,
+                   count(*) AS docs,
+                   sum(CASE WHEN c.id IS NULL OR c.id = c.component
+                       THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+                   sum(CASE WHEN c.id IS NOT NULL AND c.id <> c.component
+                       THEN 1 ELSE 0 END)::BIGINT AS dropped_near_dups
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            GROUP BY d.source
+        """,
         "embedding_near_duplicates": """
             WITH emb AS (
                 SELECT vec_id, embedding::DOUBLE[] AS e
@@ -575,6 +607,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "ivf_ann_recall_bound": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "lsh_ann_recall_bound": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 5
         """,

@@ -354,6 +354,26 @@ def simhash_near_pairs(
     )
 
 
+def drop_near_duplicates(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup pipeline's terminal op: keep one representative per
+    near-dup component (its min id == the component label), drop the rest.
+
+    ``components`` is the (id, component) output of
+    :func:`connected_components`. Docs in no component are kept. The drop
+    list (id != component) is a small fraction of the corpus, so the
+    anti-join broadcasts it; the full corpus is scanned once, never
+    shuffled.
+    """
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,

@@ -549,6 +549,35 @@ def near_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("members"))
 
 
+def near_duplicate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the near-dup dedup DECISION: how many docs
+    survive keep-first (component representative = min doc_id) vs get
+    dropped. The terminal op of the fuzzy-dedup pipeline — what a training
+    -data build actually executes (dedup.drop_near_duplicates: broadcast
+    anti-join of the loser list against the corpus; one scan, no shuffle).
+    Oracle recomputes the components with a recursive transitive-closure
+    CTE and the same keep-first rule."""
+    from .dedup import connected_components, drop_near_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = jaccard_near_duplicates(spark, sf_dir)
+    comp = connected_components(pairs)
+    kept = drop_near_duplicates(docs, comp).groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .join(kept, "source")
+        .select(
+            "source",
+            "docs",
+            "kept_docs",
+            (F.col("docs") - F.col("kept_docs")).alias("dropped_near_dups"),
+        )
+    )
+
+
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-aware near-dup pairs: 3-word-shingle sets through the SAME
     MinHash/LSH/exact-Jaccard pipeline (threshold 0.8). Word-set Jaccard is
@@ -795,6 +824,40 @@ def ivf_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_cosine_topk(emb, queries, k=10, centroids=cent, nprobe=12).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["a_qid"]) & (exact["neighbor_id"] == approx["a_nid"]),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        (
+            F.sum(F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)) / F.count(F.lit(1))
+            >= 0.5
+        ).alias("recall_ok")
+    )
+
+
+def lsh_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN (8 deterministic hyperplanes, probe buckets
+    within hamming<=4) recall@10 vs exact brute force, per query vector;
+    the oracle asserts recall >= 0.5 per query (measured min 0.6 at this
+    probe depth on the unit-noise synthetic embeddings — unstructured
+    random vectors are sign-LSH's hard case, same as IVF's nprobe=12/16;
+    real embedding spaces cluster and prune far harder). This is the
+    bucket-pruned scan path for spaces where IVF's coarse quantizer fits
+    poorly; `dim` is passed explicitly so bucketing adds zero driver
+    jobs."""
+    from .similarity import cosine_topk, lsh_cosine_topk
+
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb.cache()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(
+        emb, queries, k=10, nbits=8, probe_hamming=4, dim=64
+    ).select(F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid"))
     hit = exact.join(
         approx,
         (exact["query_id"] == approx["a_qid"]) & (exact["neighbor_id"] == approx["a_nid"]),
