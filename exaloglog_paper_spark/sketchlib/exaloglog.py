@@ -138,14 +138,24 @@ def is_valid_token(tokens: np.ndarray, v: int = V_MAX) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# bit_length of 0..4095: finishes the small-shift frexp fast path exactly
+# when the pre-shifted top field is 0 (see hash_to_idx_k)
+_BITLEN_LUT = np.array([i.bit_length() for i in range(4096)], dtype=np.int64)
+
+
 def hash_to_idx_k(hashes: np.ndarray, t: int, p: int):
     """Hash -> (register index, update value k) ≙ ExaLogLog.java:469-472.
 
     nlz(h | mask) only depends on the top 64-(t+p) bits; when those fit
     float64's 52-bit mantissa the conversion is EXACT, so one frexp gives
     the bit length directly — 2.5x faster than the general 32-bit-split
-    nlz64 and the hot third of the insert kernel. Falls back to nlz64 for
-    tiny t+p where the top field could round across a power of two.
+    nlz64 and the hot third of the insert kernel. For t+p < 12 (e.g. the
+    reference's JMH config t=2, p=8) the top field is pre-shifted by
+    ``s = 12 - (t+p)`` so it fits 52 bits: bitlen(v) = frexp_exponent + s
+    whenever the pre-shifted field is nonzero (probability 1 - 2^-52 per
+    element), and the rare zeros are finished exactly by a 2^s-entry
+    bit_length LUT over the dropped low bits — still one frexp, no
+    32-bit-split nlz64 on any realistic shift.
     """
     h = as_u64(hashes)
     mask = U64(((1 << t) << p) - 1)
@@ -155,6 +165,16 @@ def hash_to_idx_k(hashes: np.ndarray, t: int, p: int):
         hp = (h >> U64(shift)).view(np.int64)
         _, e = np.frexp(hp.astype(np.float64))
         nlz = ((64 - shift) - e).astype(np.uint64)
+    elif shift >= 2:
+        s = 12 - shift
+        w = (h >> U64(12)).view(np.int64)  # shift + s == 12: 52-bit field
+        _, e = np.frexp(w.astype(np.float64))
+        bitlen = e + s  # == bitlen(h >> shift) whenever w > 0
+        z = np.flatnonzero(w == 0)
+        if z.size:
+            low = ((h[z] >> U64(shift)) & U64((1 << s) - 1)).astype(np.int64)
+            bitlen[z] = _BITLEN_LUT[low]
+        nlz = ((64 - shift) - bitlen).astype(np.uint64)
     else:
         nlz = nlz64(h | mask)
     k = (nlz << U64(t)) + (h & U64((1 << t) - 1)) + ONE
@@ -498,7 +518,19 @@ class ExaLogLog:
         One gather + compare drops those before the sort — once registers
         warm up, >99% of a high-cardinality stream is filtered here,
         making sustained insert cost ~1 gather/compare per element.
+
+        Large inputs are processed in chunks (>= 8x m each, so the per-chunk
+        register merge amortizes) so the sketch WARMS UP after the first
+        chunk and the no-op filter takes over for the rest — a single huge
+        cold batch would otherwise sort every element. Byte-identical to
+        single-batch processing by the merge algebra (pinned by golden
+        fingerprints + merge==single-build tests).
         """
+        chunk = max(1 << 18, 8 * self.cfg.m)
+        if len(hashes) > chunk:
+            for i in range(0, len(hashes), chunk):
+                self.add_hashes(hashes[i : i + chunk])
+            return self
         d = U64(self.cfg.d)
         idx, k = hash_to_idx_k(hashes, self.cfg.t, self.cfg.p)
         # engage the filter only once registers are warm (cold sketches keep

@@ -43,6 +43,36 @@ def test_popcount_and_nlz_against_python():
         assert n == 64 - v.bit_length()
 
 
+def test_hash_to_idx_k_small_shift_fast_path_exact():
+    """The t+p < 12 pre-shift+LUT frexp path must equal the general
+    nlz64-based mapping for every config, including crafted hashes whose
+    pre-shifted top field is 0 (the LUT branch) and power-of-two
+    boundaries (where naive float64 log2 would misround)."""
+    from exaloglog_paper_spark.sketchlib.exaloglog import hash_to_idx_k
+
+    rng = np.random.default_rng(9)
+    rand = rng.integers(0, 2**64, size=20_000, dtype=np.uint64)
+    for t, p in [(0, 2), (1, 2), (2, 2), (0, 6), (2, 8), (3, 8), (1, 10), (2, 9)]:
+        shift = t + p
+        edge = [0, 1, 2**64 - 1]
+        # around every power of two of the top field (frexp boundaries)
+        for b in range(0, 64 - shift):
+            for off in (-1, 0, 1):
+                v = (1 << b) + off
+                if 0 <= v < (1 << (64 - shift)):
+                    edge.append((v << shift) | (v & ((1 << shift) - 1)))
+        # top field zero with every low-bits residue class (LUT branch)
+        edge += [int(x) for x in rng.integers(0, 1 << shift, size=64, dtype=np.uint64)]
+        h = np.concatenate([rand, np.array(edge, dtype=np.uint64)])
+        idx, k = hash_to_idx_k(h, t, p)
+        mask = np.uint64(((1 << t) << p) - 1)
+        ref_nlz = bitops.nlz64(h | mask)
+        ref_k = (ref_nlz << np.uint64(t)) + (h & np.uint64((1 << t) - 1)) + np.uint64(1)
+        ref_idx = (h & mask) >> np.uint64(t)
+        assert (idx == ref_idx).all(), (t, p)
+        assert (k == ref_k).all(), (t, p)
+
+
 def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(1)
     for width in [6, 7, 13, 28, 33, 64]:
