@@ -184,14 +184,33 @@ def hash_to_idx_k(hashes: np.ndarray, t: int, p: int):
 def build_registers(idx: np.ndarray, k: np.ndarray, m: int, d: int) -> np.ndarray:
     """Fold a batch of (idx, k) updates into a fresh uint64[m] register vector.
 
-    Equivalent to repeatedly applying ExaLogLog.add (ExaLogLog.java:468-502)
-    but expressed as: sort by (idx, k), take per-register max k as u, OR
-    ``1 << (d - (u - k'))`` for trailing values within d of u. One
-    ``np.unique`` + ``bitwise_or.reduceat`` per batch; no Python loop.
+    Equivalent to repeatedly applying ExaLogLog.add (ExaLogLog.java:468-502).
+    Two byte-identical strategies, picked by batch shape:
+
+    - DENSE (small m x small k-range, batch large enough to amortize):
+      a presence bitmap over the full (register, k) grid via one
+      ``np.bincount`` — O(n) with sequential writes into an L2-resident
+      counter array, no sort — then a vectorized fold over the m x K grid.
+      This wins big on real token streams, where heavy value repetition
+      makes the sort path re-sort the same survivors every chunk (~40 ->
+      ~5 ns/element at p=10, d=20).
+    - SORT (the general path): sort by (idx, k), take per-register max k
+      as u, OR ``1 << (d - (u - k'))`` for trailing values within d of u.
+      One ``np.unique`` + ``bitwise_or.reduceat`` per batch.
     """
-    regs = np.zeros(m, dtype=np.uint64)
     if len(idx) == 0:
-        return regs
+        return np.zeros(m, dtype=np.uint64)
+    K = int(k.max()) + 1
+    # dense-grid gate: fold work (~6 ops per grid cell) must amortize over
+    # the batch, and the grid must stay cache/memory-friendly
+    if m * K <= min(4 * len(idx), 1 << 22):
+        return _build_registers_dense(idx, k, m, d, K)
+    return _build_registers_sort(idx, k, m, d)
+
+
+def _build_registers_sort(idx: np.ndarray, k: np.ndarray, m: int, d: int) -> np.ndarray:
+    """Sort strategy of :func:`build_registers` (the general path)."""
+    regs = np.zeros(m, dtype=np.uint64)
     # pack (idx, k) into one sort key; k needs up to 30 bits for large t
     # (max k = (65-p-t)<<t, e.g. ~209k at t=12), so size the field from the
     # batch's actual max instead of assuming 16 bits
@@ -214,6 +233,31 @@ def build_registers(idx: np.ndarray, k: np.ndarray, m: int, d: int) -> np.ndarra
     b_seg |= np.where(u_seg <= U64(d), lshift_clamped(np.ones_like(u_seg), U64(d) - np.minimum(u_seg, U64(d))), ZERO)
     regs[idxs[starts]] = (u_seg << U64(d)) | b_seg
     return regs
+
+
+def _build_registers_dense(
+    idx: np.ndarray, k: np.ndarray, m: int, d: int, K: int
+) -> np.ndarray:
+    """Dense-grid strategy of :func:`build_registers` (same semantics,
+    byte-identical output — pinned by a cross-strategy property test):
+    mark every distinct (register, k) cell present with one bincount, then
+    fold the m x K grid: u = max present k per register, history bit at
+    ``d - (u - k')`` for present k' with 0 < u - k' <= d, plus the
+    empty-register ``1 << (d - u)`` first-insert term."""
+    keys = (idx * U64(K) + k).astype(np.int64)
+    pres = np.bincount(keys, minlength=m * K).astype(bool).reshape(m, K)
+    any_row = pres.any(axis=1)
+    # highest present k per register (rows with no presence are masked out)
+    u = (K - 1 - np.argmax(pres[:, ::-1], axis=1)).astype(np.int64)
+    delta = u[:, None] - np.arange(K, dtype=np.int64)[None, :]
+    valid = pres & (delta > 0) & (delta <= d)
+    bitpos = np.clip(d - delta, 0, d).astype(np.uint64)
+    b = np.bitwise_or.reduce(
+        np.where(valid, ONE << bitpos, ZERO), axis=1
+    )
+    u64 = u.astype(np.uint64)
+    b |= np.where(u64 <= U64(d), ONE << (U64(d) - np.minimum(u64, U64(d))), ZERO)
+    return np.where(any_row, (u64 << U64(d)) | b, ZERO)
 
 
 def merge_register_vec(r1: np.ndarray, r2: np.ndarray, d: int) -> np.ndarray:

@@ -43,6 +43,36 @@ def test_popcount_and_nlz_against_python():
         assert n == 64 - v.bit_length()
 
 
+def test_build_registers_dense_vs_sort_byte_identical():
+    """build_registers' two strategies (dense presence-grid vs sort+reduceat)
+    must be byte-identical on every batch shape — heavy repetition, near-
+    empty, single-element segments, k spanning the full range."""
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        _build_registers_dense,
+        _build_registers_sort,
+    )
+
+    rng = np.random.default_rng(11)
+    shapes = [
+        (256, 20, 215, 5000),
+        (1024, 20, 213, 100_000),
+        (256, 16, 220, 3000),
+        (64, 8, 230, 1000),
+        (1024, 24, 200, 8000),
+        (16, 4, 60, 7),          # tiny batch, sparse grid
+        (256, 20, 215, 1),       # single element
+    ]
+    for m, d, kmax, n in shapes:
+        idx = rng.integers(0, m, size=n).astype(np.uint64)
+        # heavy repetition: draw k from a small pool to mimic token streams
+        pool = rng.integers(1, kmax + 1, size=max(n // 50, 2)).astype(np.uint64)
+        k = pool[rng.integers(0, len(pool), size=n)]
+        K = int(k.max()) + 1
+        a = _build_registers_sort(idx, k, m, d)
+        b = _build_registers_dense(idx, k, m, d, K)
+        assert (a == b).all(), (m, d, kmax, n)
+
+
 def test_hash_to_idx_k_small_shift_fast_path_exact():
     """The t+p < 12 pre-shift+LUT frexp path must equal the general
     nlz64-based mapping for every config, including crafted hashes whose
