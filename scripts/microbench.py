@@ -48,6 +48,14 @@ def main() -> None:
     out["insert_ns_per_element"] = round(
         best_of(lambda: ExaLogLog.create(t, d, p).add_hashes(hashes)) / n * 1e9, 1
     )
+    # token-stream shape: heavy repetition from a small distinct pool (the
+    # real workload of the flagship query — few distinct k per register, so
+    # the no-op filter can't drop and the dense-grid build path carries it)
+    pool = splitmix64_stream(7, 50_000)
+    rep = pool[(splitmix64_stream(8, n) % np.uint64(50_000)).astype(np.int64)]
+    out["insert_repeated_pool_ns_per_element"] = round(
+        best_of(lambda: ExaLogLog.create(t, d, p).add_hashes(rep)) / n * 1e9, 1
+    )
 
     a = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(2, 100_000))
     b = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(3, 100_000))
