@@ -57,12 +57,6 @@ def main() -> None:
     spreads: dict[str, list] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return out
-
     def timed_min(name: str, fn, reps: int = 3, clear_cache: bool = False):
         """min-of-N timing: the box is shared with co-tenants, so a single
         run is load noise, not signal — round-over-round deltas compare
