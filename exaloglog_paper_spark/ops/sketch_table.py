@@ -1,0 +1,101 @@
+"""Persistent, incrementally-updatable sketch tables.
+
+The production pattern for 10^12-row distinct counting: keep one row of
+serialized sketch state per group in a versioned parquet table, and fold
+each new data increment (today's partition) into it with ONE pass over the
+increment only — never rescanning history. Mergeability is exactly what
+the sketch algebra buys (state(A ∪ B) == merge(state(A), state(B)),
+byte-for-byte), so the incrementally-maintained table is byte-identical
+to a from-scratch rebuild over the union — asserted in tests.
+
+Layout: ``<table_dir>/v=<N>/`` parquet with Spark's ``_SUCCESS`` marker;
+``read_sketch_table`` picks the highest complete version, so a crashed
+update never corrupts the table (the partial ``v=N+1`` is simply ignored
+and rewritten by the retry). Columns: ``by..., sketch binary,
+n_values long, build_secs double`` — the same shape ``sketch_agg``
+emits, so estimates/rollups/further merges compose unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .agg import tree_merge
+
+
+def _versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and os.path.exists(os.path.join(table_dir, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = _versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def read_sketch_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Latest complete version of the sketch table."""
+    v = latest_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no complete sketch-table version under {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def merge_state_tables(
+    states: Sequence[DataFrame], spec, by: Sequence[str] = ()
+) -> DataFrame:
+    """Merge several (by..., sketch, n_values, build_secs) state tables into
+    one row per group. Inputs are state rows (KB each), so this is a
+    shuffle of sketch states on the group key — never of raw data."""
+    by = list(by)
+    union = states[0]
+    for s in states[1:]:
+        union = union.unionByName(s.select(union.columns))
+    # tree_merge wants a partition stamp; state-table inputs are already
+    # one row per (source table x group), so stamp per input table
+    stamped = union.withColumn("partition_id", F.lit(0))
+    return tree_merge(stamped, spec, by=by, num_partials=len(states))
+
+
+def update_sketch_table(
+    spark: SparkSession,
+    table_dir: str,
+    increment_states: DataFrame,
+    spec,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Fold an increment's state table into the persistent sketch table.
+
+    ``increment_states`` is the output of ``sketch_agg``/``scan_sketch_agg``
+    over the NEW data only. Writes ``v=<latest+1>`` (atomic via Spark's
+    ``_SUCCESS``) and returns the merged table. History is never rescanned:
+    the update cost is one pass over the increment + a KB-per-group state
+    merge.
+    """
+    by = list(by)
+    v = latest_version(table_dir)
+    if v is None:
+        merged = increment_states.select(
+            *by, "sketch", "n_values", "build_secs"
+        )
+        next_v = 1
+    else:
+        current = read_sketch_table(spark, table_dir)
+        merged = merge_state_tables(
+            [current, increment_states.select(*by, "sketch", "n_values", "build_secs")],
+            spec,
+            by=by,
+        )
+        next_v = v + 1
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
+    return spark.read.parquet(os.path.join(table_dir, f"v={next_v}"))

@@ -124,6 +124,8 @@ def resolve_format(source: str, fmt: str = "auto") -> str:
     error talks about the path the user actually meant."""
     if fmt != "auto":
         return fmt
+    if source.endswith(".orc"):
+        return "orc"
     if "/" in source or source.endswith((".parquet", ".pq")) or os.path.exists(source):
         return "parquet"
     return "iceberg" if source.count(".") >= 2 else "parquet"
@@ -145,9 +147,14 @@ def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFram
         (``ops.agg.sketch_agg``), not the pyarrow row-group scan, which is
         parquet-file-layout specific.
       - ``"parquet"``: ``source`` is a parquet file/directory.
+      - ``"orc"``: ``source`` is an ORC file/directory (auto-detected for
+        ``*.orc`` paths). Downstream is format-agnostic (DataFrame route);
+        the pyarrow row-group scan stays parquet-only.
       - ``"auto"``: see :func:`resolve_format`.
     """
     fmt = resolve_format(source, fmt)
+    if fmt == "orc":
+        return spark.read.orc(source)
     if fmt == "iceberg":
         try:
             return spark.read.format("iceberg").load(source)

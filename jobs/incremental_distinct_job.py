@@ -1,0 +1,77 @@
+"""spark-submit entry point: incrementally-maintained distinct-token counts.
+
+Maintains a versioned sketch table (one ExaLogLog state row per group) and
+folds each new data increment into it with one pass over the increment —
+history is never rescanned. Because the merge algebra is exact, the
+maintained table is byte-identical to a from-scratch rebuild over all
+increments (the oracle-checked resume/merge invariants).
+
+Usage (daily pipeline shape):
+
+    scripts/build_dist.sh
+    spark-submit --master local[8] \
+        --py-files dist/exaloglog_paper_spark.zip \
+        jobs/incremental_distinct_job.py \
+        --table /warehouse/token_sketches --add /data/tokens_2026_08_16.parquet \
+        --by source
+    # next day:
+    spark-submit ... --add /data/tokens_2026_08_17.parquet --by source
+
+Each run prints the post-update per-group estimates. ``--estimate-only``
+reads the latest version without updating.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="sketch-table directory")
+    ap.add_argument("--add", default="", help="new data increment (token table)")
+    ap.add_argument("--by", default="", help="comma-separated group columns")
+    ap.add_argument("--format", default="auto", choices=["auto", "parquet", "orc", "iceberg"])
+    ap.add_argument("--t", type=int, default=2)
+    ap.add_argument("--d", type=int, default=20)
+    ap.add_argument("--p", type=int, default=10)
+    ap.add_argument("--estimate-only", action="store_true")
+    args = ap.parse_args()
+    by = [c for c in args.by.split(",") if c]
+
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        sketch_agg,
+        token_array_values,
+        with_estimate,
+    )
+    from exaloglog_paper_spark.ops.sketch_table import (
+        read_sketch_table,
+        update_sketch_table,
+    )
+    from exaloglog_paper_spark.ops.source import read_tokens
+
+    spark = SparkSession.builder.appName("incremental-distinct").getOrCreate()
+    spec = ExaLogLogSpec(args.t, args.d, args.p)
+    if args.estimate_only:
+        table = read_sketch_table(spark, args.table)
+    else:
+        if not args.add:
+            raise SystemExit("--add is required unless --estimate-only")
+        inc = sketch_agg(
+            read_tokens(spark, args.add, args.format),
+            spec,
+            token_array_values("tokens"),
+            by=by,
+        )
+        table = update_sketch_table(spark, args.table, inc, spec, by=by)
+    # group columns come from the table itself, so --estimate-only needs no --by
+    out_cols = [c for c in table.columns if c not in ("sketch", "build_secs")]
+    with_estimate(table, spec).select(*out_cols, "estimate").show(50, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

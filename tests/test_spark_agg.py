@@ -226,6 +226,29 @@ def test_read_tokens_parquet_and_iceberg_gating(spark):
     assert resolve_format("tokens.v2") == "parquet"
     assert resolve_format("data/not_yet_written.parquet") == "parquet"
     assert resolve_format("tokens.v2", fmt="iceberg") == "iceberg"
+    assert resolve_format("data/tokens.orc") == "orc"
+
+
+def test_read_tokens_orc_roundtrip(spark, tmp_path):
+    """ORC source: same table through read_tokens(fmt auto-detected) gives
+    byte-identical sketch states to the parquet route (format-agnostic
+    DataFrame path)."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        sketch_agg,
+        token_array_values,
+    )
+    from exaloglog_paper_spark.ops.source import read_tokens
+
+    ppath = tok.materialize_token_table("sf0.001")
+    opath = str(tmp_path / "tokens.orc")
+    spark.read.parquet(ppath).write.orc(opath)
+    spec = ExaLogLogSpec(2, 20, 8)
+    a = sketch_agg(read_tokens(spark, opath), spec, token_array_values("tokens")).collect()
+    b = sketch_agg(read_tokens(spark, ppath), spec, token_array_values("tokens")).collect()
+    assert bytes(a[0].sketch) == bytes(b[0].sketch)
+    assert a[0].n_values == b[0].n_values
 
 
 def test_partial_flush_is_byte_identical(spark, tdf):
@@ -307,3 +330,35 @@ def test_partial_flush_is_byte_identical(spark, tdf):
         return {r.source: (bytes(r.sketch), r.n_values) for r in out.collect()}
 
     assert run(2) == run(65536)
+
+
+def test_incremental_sketch_table_equals_full_rebuild(spark, tdf, tmp_path):
+    """The versioned sketch table maintained by two incremental updates is
+    byte-identical to a one-shot build over the union — per group and
+    globally. This is the daily-increment production pattern: history is
+    never rescanned (each update's input is only the increment's states)."""
+    from exaloglog_paper_spark.ops.sketch_table import (
+        latest_version,
+        read_sketch_table,
+        update_sketch_table,
+    )
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    day1 = tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    day2 = tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    for by in ([], ["source"]):
+        tdir = str(tmp_path / f"sketches_{len(by)}")
+        inc1 = sketch_agg(day1, spec, token_array_values("tokens"), by=by)
+        update_sketch_table(spark, tdir, inc1, spec, by=by)
+        inc2 = sketch_agg(day2, spec, token_array_values("tokens"), by=by)
+        update_sketch_table(spark, tdir, inc2, spec, by=by)
+        assert latest_version(tdir) == 2
+        got = {
+            tuple(r[c] for c in by): bytes(r.sketch)
+            for r in read_sketch_table(spark, tdir).collect()
+        }
+        want = {
+            tuple(r[c] for c in by): bytes(r.sketch)
+            for r in sketch_agg(tdf, spec, token_array_values("tokens"), by=by).collect()
+        }
+        assert got == want, by
