@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_stats": Q.multimodal_media_stats,
         "streaming_batch_parity": Q.streaming_batch_parity,
         "checkpoint_resume_invariant": Q.checkpoint_resume_invariant,
+        "incremental_update_invariant": Q.incremental_update_invariant,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -617,6 +618,12 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume_invariant": f"""
             SELECT source, sum(n_tok)::BIGINT AS total_tokens,
                    TRUE AS resume_byte_identical
+            FROM read_parquet('{TOKENS_PQ}')
+            GROUP BY source
+        """,
+        "incremental_update_invariant": f"""
+            SELECT source, sum(n_tok)::BIGINT AS total_tokens,
+                   TRUE AS incremental_byte_identical
             FROM read_parquet('{TOKENS_PQ}')
             GROUP BY source
         """,

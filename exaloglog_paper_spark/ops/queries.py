@@ -871,6 +871,56 @@ def lsh_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_update_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch-table maintenance is byte-exact: two increments
+    (a deterministic hash-split of the token table) folded into a
+    versioned sketch table must equal a one-shot build over the full
+    table, state-byte-for-state-byte per source — the daily-pipeline
+    pattern where history is never rescanned. The oracle recomputes
+    per-source token volumes from the parquet twin and asserts the flag."""
+    import shutil
+    import tempfile
+
+    from .agg import sketch_agg, token_array_values
+    from .sketch_table import read_sketch_table, update_sketch_table
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    path = tok.materialize_token_table(_sf_name(sf_dir))
+    tdf = spark.read.parquet(path)
+    halves = [
+        tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    tdir = tempfile.mkdtemp(prefix="ellinc_")
+    try:
+        for h in halves:
+            update_sketch_table(
+                spark,
+                tdir,
+                sketch_agg(h, spec, token_array_values("tokens"), by=["source"]),
+                spec,
+                by=["source"],
+            )
+        incr = {
+            r.source: (bytes(r.sketch), int(r.n_values))
+            for r in read_sketch_table(spark, tdir).collect()
+        }
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    full = {
+        r.source: (bytes(r.sketch), int(r.n_values))
+        for r in sketch_agg(
+            tdf, spec, token_array_values("tokens"), by=["source"]
+        ).collect()
+    }
+    rows = [
+        (src, n, bool(incr.get(src) == (state, n)))
+        for src, (state, n) in sorted(full.items())
+    ]
+    return spark.createDataFrame(
+        rows, "source string, total_tokens long, incremental_byte_identical boolean"
+    )
+
+
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated text-quality features per source (exact; oracle-checked).
 
