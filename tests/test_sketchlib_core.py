@@ -43,6 +43,32 @@ def test_popcount_and_nlz_against_python():
         assert n == 64 - v.bit_length()
 
 
+def test_unpack_registers_endian_fallback_matches_fast_path(monkeypatch):
+    """The big-endian fallback (unpackbits path) must decode identically to
+    the windowed-gather fast path — exercised by forcing the gate off, so
+    the fallback isn't dead untested code."""
+    import numpy as _np
+
+    rng = np.random.default_rng(5)
+    for width in [6, 13, 28, 33, 57]:
+        regs = rng.integers(0, 2 ** min(width, 63), size=256, dtype=np.uint64)
+        data = bitops.pack_registers(regs, width)
+        fast = bitops.unpack_registers(data, width, 256)
+        arr = _np.frombuffer(data, dtype=_np.uint8)
+        fast_b = bitops.unpack_registers_batch(
+            _np.repeat(arr[None, :], 3, axis=0), width, 256
+        )
+        monkeypatch.setattr(bitops, "_LITTLE_ENDIAN", False)
+        slow = bitops.unpack_registers(data, width, 256)
+        slow_b = bitops.unpack_registers_batch(
+            _np.repeat(arr[None, :], 3, axis=0), width, 256
+        )
+        monkeypatch.setattr(bitops, "_LITTLE_ENDIAN", True)
+        assert (fast == slow).all(), width
+        assert (fast_b == slow_b).all(), width
+        assert (fast == regs).all(), width
+
+
 def test_build_registers_dense_vs_sort_byte_identical():
     """build_registers' two strategies (dense presence-grid vs sort+reduceat)
     must be byte-identical on every batch shape — heavy repetition, near-
