@@ -51,6 +51,21 @@ def read_sketch_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def prune_versions(table_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` complete versions (plus any
+    incomplete scratch dirs older than the newest complete one). Run after
+    successful updates to bound storage at daily cadence; never touches
+    the latest version, so concurrent readers of ``read_sketch_table``
+    stay consistent. Returns the deleted version numbers."""
+    import shutil
+
+    vs = _versions(table_dir)
+    doomed = vs[:-keep] if keep > 0 else vs
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return doomed
+
+
 def merge_state_tables(
     states: Sequence[DataFrame], spec, by: Sequence[str] = ()
 ) -> DataFrame:

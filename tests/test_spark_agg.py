@@ -362,3 +362,27 @@ def test_incremental_sketch_table_equals_full_rebuild(spark, tdf, tmp_path):
             for r in sketch_agg(tdf, spec, token_array_values("tokens"), by=by).collect()
         }
         assert got == want, by
+
+
+def test_sketch_table_prune_versions(spark, tdf, tmp_path):
+    from exaloglog_paper_spark.ops.sketch_table import (
+        latest_version,
+        prune_versions,
+        read_sketch_table,
+        update_sketch_table,
+    )
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    tdir = str(tmp_path / "sk")
+    for i in range(3):
+        inc = sketch_agg(
+            tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i),
+            spec, token_array_values("tokens"), by=["source"],
+        )
+        update_sketch_table(spark, tdir, inc, spec, by=["source"])
+    assert latest_version(tdir) == 3
+    before = {r.source: bytes(r.sketch) for r in read_sketch_table(spark, tdir).collect()}
+    assert prune_versions(tdir, keep=1) == [1, 2]
+    assert latest_version(tdir) == 3
+    after = {r.source: bytes(r.sketch) for r in read_sketch_table(spark, tdir).collect()}
+    assert before == after
