@@ -38,6 +38,13 @@ def main() -> None:
     ap.add_argument("--d", type=int, default=20)
     ap.add_argument("--p", type=int, default=10)
     ap.add_argument("--estimate-only", action="store_true")
+    ap.add_argument(
+        "--prune-keep",
+        type=int,
+        default=0,
+        help="after a successful update, keep only the newest N versions "
+        "(0 = never prune)",
+    )
     args = ap.parse_args()
     by = [c for c in args.by.split(",") if c]
 
@@ -67,6 +74,12 @@ def main() -> None:
             by=by,
         )
         table = update_sketch_table(spark, args.table, inc, spec, by=by)
+        if args.prune_keep > 0:
+            from exaloglog_paper_spark.ops.sketch_table import prune_versions
+
+            pruned = prune_versions(args.table, keep=args.prune_keep)
+            if pruned:
+                print(f"pruned versions: {pruned}")
     # group columns come from the table itself, so --estimate-only needs no --by
     out_cols = [c for c in table.columns if c not in ("sketch", "build_secs")]
     with_estimate(table, spec).select(*out_cols, "estimate").show(50, truncate=False)
