@@ -43,6 +43,30 @@ def test_popcount_and_nlz_against_python():
         assert n == 64 - v.bit_length()
 
 
+def test_add_hashes_chunked_path_byte_identical():
+    """Inputs above the chunk threshold (max(256k, 8m)) take the chunked
+    warm-up path — must equal both a monolithic single-batch register fold
+    and an uneven 7-way split+merge, register for register."""
+    from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        ExaLogLog,
+        build_registers,
+        hash_to_idx_k,
+    )
+
+    t, d, p = 2, 20, 8
+    n = 700_000  # > 262144: the chunk loop actually runs
+    h = splitmix64_stream(99, n)
+    chunked = ExaLogLog.create(t, d, p).add_hashes(h)
+    idx, k = hash_to_idx_k(h, t, p)
+    mono = build_registers(idx, k, chunked.cfg.m, d)
+    assert np.array_equal(chunked.regs, mono)
+    acc = ExaLogLog.create(t, d, p)
+    for part in np.array_split(h, 7):
+        acc.merge_(ExaLogLog.create(t, d, p).add_hashes(part))
+    assert acc.serialize() == chunked.serialize()
+
+
 def test_unpack_registers_endian_fallback_matches_fast_path(monkeypatch):
     """The big-endian fallback (unpackbits path) must decode identically to
     the windowed-gather fast path — exercised by forcing the gate off, so
