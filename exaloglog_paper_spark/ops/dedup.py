@@ -363,15 +363,17 @@ def drop_near_duplicates(
     near-dup component (its min id == the component label), drop the rest.
 
     ``components`` is the (id, component) output of
-    :func:`connected_components`. Docs in no component are kept. The drop
-    list (id != component) is a small fraction of the corpus, so the
-    anti-join broadcasts it; the full corpus is scanned once, never
-    shuffled.
+    :func:`connected_components`. Docs in no component are kept. The full
+    corpus is scanned once; the join strategy for the loser list is left
+    to AQE — on real corpora near-dup drop rates reach 10-50%, so a forced
+    broadcast of billions of loser ids would OOM where a shuffled anti-join
+    (or AQE's own runtime broadcast when the list turns out small) degrades
+    gracefully.
     """
     losers = components.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def connected_components(

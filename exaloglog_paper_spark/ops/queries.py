@@ -568,12 +568,13 @@ def near_duplicate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs"))
-        .join(kept, "source")
+        .join(kept, "source", "left")  # a source whose docs are ALL dropped
+        # still gets a row (kept_docs=0), matching the oracle's LEFT JOIN
         .select(
             "source",
             "docs",
-            "kept_docs",
-            (F.col("docs") - F.col("kept_docs")).alias("dropped_near_dups"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            (F.col("docs") - F.coalesce("kept_docs", F.lit(0))).alias("dropped_near_dups"),
         )
     )
 

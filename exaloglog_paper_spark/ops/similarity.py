@@ -89,14 +89,12 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", nbits: int = 8, seed: int = 7, dim: int | None = None
+    df: DataFrame, vec_col: str, dim: int, nbits: int = 8, seed: int = 7
 ) -> DataFrame:
     """Attach the sign-random-projection bucket id (int in [0, 2^nbits)).
 
-    Pass ``dim`` whenever known — the fallback costs one driver job probing
-    the first row of ``df``."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    ``dim`` (the embedding width) is required: it is a pipeline constant by
+    contract, and deriving it from data would cost a driver job per call."""
     planes = _hyperplanes(dim, nbits, seed)
     bucket = None
     for b in range(nbits):
@@ -251,6 +249,15 @@ def lsh_cosine_topk(
     """Approximate cosine top-k: score only vectors in LSH buckets within
     ``probe_hamming`` of the query's bucket (multi-probe sign-LSH).
 
+    Each query is expanded driver-free to its probe-bucket SET (all
+    ``sum(C(nbits, i), i<=probe_hamming)`` bucket ids within hamming
+    distance, via a tiny literal XOR-delta table) and the probe is an
+    **equi-join on ``lsh_bucket``** — a BroadcastHashJoin keyed on the
+    bucket, so only rows in probed buckets are ever scored. At scale the
+    table is written ``partitionBy("lsh_bucket")`` and the same key prunes
+    whole files (plan-pinned); a nested-loop hamming filter would instead
+    popcount-test every (row, query) pair, O(|emb|·|Q|).
+
     Pass ``dim`` when known (it usually is — embedding width is a pipeline
     constant) to avoid the one-row probe job; the fallback probes the
     *queries* side, which is small by contract, never the embeddings table.
@@ -259,16 +266,25 @@ def lsh_cosine_topk(
         dim = len(queries.select(vec_col).first()[0])
     base = with_lsh_bucket(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
-        "vec", nbits, seed, dim,
+        "vec", dim, nbits, seed,
     )
     q = with_lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        "qvec", nbits, seed, dim,
+        "qvec", dim, nbits, seed,
     ).withColumnRenamed("lsh_bucket", "qbucket")
-    pop = F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.col("qbucket")).cast("long"))
+    # all XOR masks with popcount <= probe_hamming: the multi-probe pattern
+    # is data-independent, so the expansion is a pure literal array
+    deltas = [x for x in range(1 << nbits) if bin(x).count("1") <= probe_hamming]
+    q_exp = q.withColumn("__delta", F.explode(F.array(*[F.lit(x) for x in deltas])))
+    q_exp = q_exp.withColumn(
+        "lsh_bucket", F.col("qbucket").bitwiseXOR(F.col("__delta")).cast("int")
+    ).drop("__delta", "qbucket")
     scored = (
-        base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .filter(pop <= probe_hamming)
+        base.join(
+            F.broadcast(q_exp),
+            on=["lsh_bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             _dot_expr("vec", "qvec") / (_norm_expr("vec") * _norm_expr("qvec")),

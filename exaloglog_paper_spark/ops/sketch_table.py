@@ -63,23 +63,38 @@ def prune_versions(table_dir: str, keep: int = 2) -> list[int]:
     doomed = vs[:-keep] if keep > 0 else vs
     for v in doomed:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    # incomplete scratch dirs (no _SUCCESS) below the newest complete
+    # version are crash leftovers that no retry will ever overwrite (the
+    # next update writes latest+1); clean them up too
+    newest = vs[-1] if vs else None
+    if newest is not None and os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            m = re.fullmatch(r"v=(\d+)", name)
+            if (
+                m
+                and int(m.group(1)) < newest
+                and not os.path.exists(os.path.join(table_dir, name, "_SUCCESS"))
+            ):
+                shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
     return doomed
 
 
 def merge_state_tables(
-    states: Sequence[DataFrame], spec, by: Sequence[str] = ()
+    states: Sequence[DataFrame], spec, by: Sequence[str] = (), fanin: int = 64
 ) -> DataFrame:
     """Merge several (by..., sketch, n_values, build_secs) state tables into
     one row per group. Inputs are state rows (KB each), so this is a
     shuffle of sketch states on the group key — never of raw data."""
     by = list(by)
-    union = states[0]
-    for s in states[1:]:
-        union = union.unionByName(s.select(union.columns))
-    # tree_merge wants a partition stamp; state-table inputs are already
-    # one row per (source table x group), so stamp per input table
-    stamped = union.withColumn("partition_id", F.lit(0))
-    return tree_merge(stamped, spec, by=by, num_partials=len(states))
+    # tree_merge wants a DISTINCT partition stamp per planned partial: stamp
+    # each input table with its ordinal so the pmod bucketing spreads states
+    # across first-level reducers even for > fanin input tables (multi-day
+    # backfills) — a constant stamp would funnel every state into one bucket
+    cols = states[0].columns
+    stamped = states[0].withColumn("partition_id", F.lit(0))
+    for i, s in enumerate(states[1:], start=1):
+        stamped = stamped.unionByName(s.select(cols).withColumn("partition_id", F.lit(i)))
+    return tree_merge(stamped, spec, by=by, num_partials=len(states), fanin=fanin)
 
 
 def update_sketch_table(

@@ -165,4 +165,14 @@ def read_tokens(spark: SparkSession, source: str, fmt: str = "auto") -> DataFram
                 "configured? (if this was meant as a parquet path, pass "
                 f"fmt='parquet') ({e})"
             ) from e
-    return spark.read.parquet(source)
+    try:
+        return spark.read.parquet(source)
+    except Exception as e:
+        # 'auto' resolves single-dot names (`db.table`) to parquet; if the
+        # path doesn't exist the caller may have meant a 2-part Iceberg
+        # identifier against the session default catalog — say so
+        raise RuntimeError(
+            f"cannot read parquet at {source!r} (if this was meant as an "
+            "Iceberg identifier, e.g. a 2-part `db.table` name against the "
+            f"session default catalog, pass fmt='iceberg') ({e})"
+        ) from e

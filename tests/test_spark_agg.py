@@ -386,3 +386,66 @@ def test_sketch_table_prune_versions(spark, tdf, tmp_path):
     assert latest_version(tdir) == 3
     after = {r.source: bytes(r.sketch) for r in read_sketch_table(spark, tdir).collect()}
     assert before == after
+
+
+def test_merge_state_tables_beyond_fanin_byte_identical(spark, tdf):
+    """Folding MORE state tables than the tree fanin (the multi-day
+    backfill shape) must stay byte-identical to a one-shot build — and the
+    per-table partition stamps must spread first-level buckets (a constant
+    stamp would funnel every state through one reducer). fanin=2 with 6
+    tables exercises 3 tree levels cheaply."""
+    from exaloglog_paper_spark.ops.sketch_table import merge_state_tables
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    parts = [
+        sketch_agg(
+            tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(6)) == i),
+            spec, token_array_values("tokens"), by=["source"],
+        )
+        for i in range(6)
+    ]
+    got = {
+        r.source: (bytes(r.sketch), r.n_values)
+        for r in merge_state_tables(parts, spec, by=["source"], fanin=2).collect()
+    }
+    want = {
+        r.source: (bytes(r.sketch), r.n_values)
+        for r in sketch_agg(tdf, spec, token_array_values("tokens"), by=["source"]).collect()
+    }
+    assert got == want
+
+
+def test_prune_versions_cleans_stale_scratch_dirs(spark, tdf, tmp_path):
+    """A crashed partial write (v=N dir without _SUCCESS) below the newest
+    complete version is a leftover no retry will overwrite — prune_versions
+    must delete it, while an in-flight scratch dir NEWER than the latest
+    complete version is left alone."""
+    import os
+
+    from exaloglog_paper_spark.ops.sketch_table import (
+        latest_version,
+        prune_versions,
+        update_sketch_table,
+    )
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    tdir = str(tmp_path / "sk")
+    for i in range(2):
+        inc = sketch_agg(
+            tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
+            spec, token_array_values("tokens"), by=["source"],
+        )
+        update_sketch_table(spark, tdir, inc, spec, by=["source"])
+    assert latest_version(tdir) == 2
+    os.makedirs(os.path.join(tdir, "v=1.5crash", ), exist_ok=True)  # not vN-shaped: ignored
+    os.rmdir(os.path.join(tdir, "v=1.5crash"))
+    stale = os.path.join(tdir, "v=1")  # complete; will be pruned by keep=1
+    crashed_old = os.path.join(tdir, "v=0")
+    os.makedirs(crashed_old, exist_ok=True)  # incomplete below newest
+    inflight = os.path.join(tdir, "v=3")
+    os.makedirs(inflight, exist_ok=True)  # incomplete ABOVE newest: keep
+    prune_versions(tdir, keep=1)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(crashed_old)
+    assert os.path.exists(inflight)
+    assert latest_version(tdir) == 2
