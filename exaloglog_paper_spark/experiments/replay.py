@@ -1,0 +1,431 @@
+"""Vectorized full-stream replay: reference-fidelity error simulation.
+
+Reproduces the reference's headline experiment at its OWN fidelity
+(``ExaLogLogEstimationErrorSimulation.java:75-233``): a +5% geometric
+ladder from 1 to 1e21 (961 rungs, ``TestUtils.getDistinctCountValues``
+semantics replicated bit-for-bit including the double-rounding of
+``BigInt.ceil(asDouble·factor)``), exact inserts from a real hash stream up
+to ``large_scale_simulation_mode_distinct_count_limit`` (1e6), sampled
+first-hit transitions beyond (``TestUtils.generateTransitions`` with the
+distinct-count offset), and BOTH estimators per rung: ML (with Newton
+iteration stats) and the sequential martingale.
+
+The reference replays each cycle element-by-element through
+``sketch.add(hash, martingaleEstimator)``. That loop cannot be ported
+per-element (Python), but it doesn't need to be: a register's state can
+only change at the FIRST arrival of each (update value k, register idx)
+pair — duplicates are provably no-ops (u only grows; history bits are set
+at most once per value). So the whole sequential trajectory, including
+every martingale decrement, is a function of the per-pair first-hit
+cardinalities:
+
+- exact phase: first-hit positions extracted from the real splitmix64
+  stream with one vectorized reverse fancy-assignment (last write wins →
+  first occurrence), giving TRUE small-n statistics — at n=1 the
+  martingale error is exactly 0, as the reference's CSV row 1 shows;
+- beyond the limit: per-pair geometric first hits offset by the limit
+  (memorylessness makes this exactly the reference's model);
+- per-register replay: one vectorized pass over the K events in count
+  order (running max + history bitfield per the add semantics);
+- martingale: each state change decrements the global change probability
+  P by an EXACT uint64-scaled amount (the register's contribution delta,
+  Algorithm 3 terms via lookup tables). P before event i is recovered as
+  ``(A_final + Σ_{j≥i} dec_j) · 2^-64`` — an exact integer tail sum, so
+  the replay avoids the catastrophic 1-minus-cumsum cancellation that a
+  naive vectorization would hit at P ~ 1e-15, while matching the
+  reference's sequential-subtraction semantics to within one ulp of P.
+
+Statistical equivalence to the reference's per-element loop is pinned by
+tests (byte-identical registers + matching martingale estimates vs the
+sequential ``add_hashes_martingale`` on the same stream), and the output
+CSVs carry the reference's exact 10-column header
+(``ExaLogLogEstimationErrorSimulation.java:187-197``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sketchlib.bitops import ONE, U64, ZERO, rshift_clamped, splitmix64_stream
+from ..sketchlib.constants import theoretical_rse_martingale, theoretical_rse_ml
+from ..sketchlib.exaloglog import (
+    contribute_vec_batch,
+    estimate_from_coefficients,
+    hash_to_idx_k,
+)
+
+
+def reference_ladder(max_n: float = 1e21, rel: float = 0.05) -> list[float]:
+    """The reference's target-distinct-count grid, value-for-value
+    (≙ TestUtils.getDistinctCountValues(double, double): BigInt descent
+    ``c = min(c-1, ceil(double(c)·1/(1+rel)))`` — 961 rungs for (1e21,
+    0.05), verified equal to the published CSVs' first column)."""
+    factor = 1.0 / (1.0 + rel)
+    c = math.ceil(max_n)
+    out = []
+    while c > 0:
+        out.append(c)
+        c = min(c - 1, math.ceil(float(c) * factor))
+    out.reverse()
+    return [float(x) for x in out]
+
+
+def _event_luts(t: int, d: int, p: int):
+    """Per-update-value lookup tables for the replay.
+
+    - ``pw[k]`` = 2^((-p-φ(k)) & 63): the uint64-scaled probability that a
+      random hash produces exactly (k, fixed idx) — the martingale
+      decrement of a history-bit set (≙ ExaLogLog.java's update-value
+      probability; the bit-set branch of add(long, MartingaleEstimator)).
+    - ``om[u]`` = omega_scaled(u): the u-dependent term of a register's
+      change-probability contribution (Algorithm 3 / contribute_reference).
+    - ``factor[k]`` = m·2^φ(k): the geometric scale of the sampled
+      first-hit cardinality of (k, idx) (≙ TestUtils.generateTransitions).
+    """
+    m = 1 << p
+    k_max = (65 - p - t) << t
+
+    def phi(k: int) -> int:
+        return t if k == 0 else min(t + 1 + ((k - 1) >> t), 64 - p)
+
+    pw = np.zeros(k_max + 1, np.uint64)
+    om = np.zeros(k_max + 1, np.uint64)
+    factor = np.zeros(k_max + 1, np.float64)
+    for k in range(k_max + 1):
+        j = phi(k)
+        om[k] = ((((1 - t + j) << t) - k) << ((-p - j) & 63)) & 0xFFFFFFFFFFFFFFFF
+        if k >= 1:
+            pw[k] = 1 << ((-p - j) & 63)
+            factor[k] = m * math.ldexp(1.0, j)
+    return k_max, pw, om, factor
+
+
+def _a_scaled(u: np.ndarray, b: np.ndarray, pw: np.ndarray, om: np.ndarray, d: int) -> np.ndarray:
+    """uint64-scaled change-probability contribution a(u, B) per register
+    (≙ contribute_reference / Algorithm 3): omega(u) plus pw[k] for every
+    UNSET history bit of a value k in [max(1, u-d), u-1]. Bounded by
+    2^(64-p), so the sum never wraps."""
+    a = om[u]
+    for off in range(1, d + 1):
+        k = u - off
+        valid = k >= 1
+        unset = (b >> U64(d - off)) & ONE == ZERO
+        a = a + np.where(valid & unset, pw[np.maximum(k, 0)], ZERO)
+    return a
+
+
+def _u64_to_f64(x: np.ndarray) -> np.ndarray:
+    """Exact uint64 -> float64 via 32-bit halves (uint64 astype float64 is
+    a numpy scalar loop — see bitops.nlz64 note)."""
+    return (x >> U64(32)).astype(np.uint32).astype(np.float64) * 4294967296.0 + (
+        x & U64(0xFFFFFFFF)
+    ).astype(np.uint32).astype(np.float64)
+
+
+def replay_first_hits(
+    counts: np.ndarray,  # (R, K) float64 first-hit cardinality of value k=col+1
+    t: int,
+    d: int,
+    p: int,
+    luts=None,
+):
+    """Replay per-register event streams given per-(register, value)
+    first-hit cardinalities. Returns ``(cs, u_traj, b_traj, dec)``:
+    per-register events sorted by cardinality, the register state AFTER
+    each event, and the uint64-scaled martingale decrement of each event
+    (0 for no-ops)."""
+    if luts is None:
+        luts = _event_luts(t, d, p)
+    k_max, pw, om, _factor = luts
+    R, K = counts.shape
+    assert K == k_max
+
+    order = np.argsort(counts, axis=1, kind="stable")
+    cs = np.take_along_axis(counts, order, axis=1)
+    kv = (order + 1).astype(np.int64)
+
+    u = np.zeros(R, np.int64)
+    b = np.zeros(R, np.uint64)
+    u_traj = np.empty((R, K), np.int32)
+    b_traj = np.empty((R, K), np.uint64)
+    dec = np.zeros((R, K), np.uint64)
+    for j in range(K):
+        kj = kv[:, j]
+        nm = np.flatnonzero(kj > u)
+        if nm.size:
+            a_old = _a_scaled(u[nm], b[nm], pw, om, d)
+            delta = (kj[nm] - u[nm]).astype(np.uint64)
+            b[nm] = rshift_clamped((ONE << U64(d)) | b[nm], delta)
+            u[nm] = kj[nm]
+            dec[nm, j] = a_old - _a_scaled(u[nm], b[nm], pw, om, d)
+        off = u - kj
+        bs = np.flatnonzero((off > 0) & (off <= d))
+        if bs.size:
+            b[bs] |= ONE << (U64(d) - off[bs].astype(np.uint64))
+            dec[bs, j] = pw[kv[bs, j]]
+        u_traj[:, j] = u
+        b_traj[:, j] = b
+    return cs, u_traj, b_traj, dec
+
+
+def martingale_curve(
+    cs: np.ndarray,  # (C, E) per-cycle globally count-sorted event cardinalities
+    dec: np.ndarray,  # (C, E) uint64 decrements in the same order
+    a_final_sum: np.ndarray,  # (C,) uint64 Σ a(final register states) per cycle
+):
+    """Cumulative martingale estimate after each event, with EXACT change
+    probabilities: P before event i is (a_final_sum + Σ_{j>=i} dec_j)·2^-64
+    — an exact uint64 tail identity (the decs telescope register-wise to
+    a(empty)-a(final)), immune to 1-cumsum cancellation. The all-events sum
+    equals 2^64 exactly and wraps to 0 for the first event (P=1)."""
+    S = np.cumsum(dec[:, ::-1], axis=1)[:, ::-1]  # uint64, mod 2^64
+    P_scaled = S + a_final_sum[:, None]
+    Pf = _u64_to_f64(P_scaled) * 2.0**-64
+    Pf[:, 0:1] = np.where(P_scaled[:, 0:1] == ZERO, 1.0, Pf[:, 0:1])
+    with np.errstate(divide="ignore"):
+        inc = np.where(dec > ZERO, 1.0 / Pf, 0.0)
+    return np.cumsum(inc, axis=1)
+
+
+def replay_cycle_batch(
+    cycle_ids,
+    t: int,
+    d: int,
+    p: int,
+    rungs: np.ndarray,
+    seed: int,
+    exact_limit: int,
+    luts=None,
+    estimate_chunk: int = 4096,
+):
+    """Full simulation of a batch of cycles. Returns per-(cycle, rung)
+    arrays: ``err_ml``, ``err_mart`` (relative errors; ML is +inf at
+    saturation like the reference's Infinity rows) and ``iters`` (Newton
+    iteration counts; 0 where the solver never ran)."""
+    from ..sketchlib.mlsolver import solve_ml_equation_batch  # noqa: F401  (via estimate)
+
+    if luts is None:
+        luts = _event_luts(t, d, p)
+    k_max, pw, om, factor = luts
+    m = 1 << p
+    C = len(cycle_ids)
+    R = C * m
+    K = k_max
+    NR = len(rungs)
+    rungs = np.asarray(rungs, np.float64)
+
+    # ---- first-hit cardinalities: real stream below the limit, sampled
+    # geometric (offset by the limit) beyond — ≙ the reference's exact
+    # phase + generateTransitions(distinctCountOffset=limit)
+    counts = np.empty((C, m, K), np.float64)
+    pos_plus1 = np.arange(1, exact_limit + 1, dtype=np.float64)
+    for ci, cyc in enumerate(cycle_ids):
+        hseed = int(splitmix64_stream((seed << 32) | 0x5EED, 1, offset=int(cyc))[0])
+        h = splitmix64_stream(hseed, exact_limit)
+        idx, k = hash_to_idx_k(h, t, p)
+        key = idx.astype(np.int64) * K + (k.astype(np.int64) - 1)
+        first = np.zeros(m * K, np.float64)
+        # reversed fancy assignment: last write wins -> first occurrence
+        first[key[::-1]] = pos_plus1[::-1]
+        rseed = int(splitmix64_stream((seed << 32) | 0xA11CE, 1, offset=int(cyc))[0])
+        rng = np.random.default_rng(rseed)
+        samp = exact_limit + np.floor(rng.exponential(size=(K, m)) * factor[1:, None]) + 1.0
+        fm = first.reshape(m, K)
+        counts[ci] = np.where(fm > 0, fm, samp.T)
+
+    cs, u_traj, b_traj, dec = replay_first_hits(counts.reshape(R, K), t, d, p, luts)
+
+    # ---- martingale: per-cycle global event order + exact P tail sums
+    gorder = np.argsort(cs.reshape(C, m * K), axis=1, kind="stable")
+    gcnt = np.take_along_axis(cs.reshape(C, m * K), gorder, axis=1)
+    gdec = np.take_along_axis(dec.reshape(C, m * K), gorder, axis=1)
+    u_fin = u_traj[:, -1].astype(np.int64)
+    b_fin = b_traj[:, -1]
+    a_fin = _a_scaled(u_fin, b_fin, pw, om, d)
+    a_final_sum = a_fin.reshape(C, m).sum(axis=1, dtype=np.uint64)
+    mart_cum = martingale_curve(gcnt, gdec, a_final_sum)
+    err_mart = np.empty((C, NR), np.float64)
+    for c in range(C):
+        jj = np.searchsorted(gcnt[c], rungs, side="right") - 1
+        est = np.where(jj >= 0, mart_cum[c, np.clip(jj, 0, None)], 0.0)
+        err_mart[c] = est / rungs - 1.0
+
+    # ---- ML: register state at each rung via per-register event counts
+    ev_bin = np.searchsorted(rungs, cs.ravel(), side="left")  # == NR beyond last rung
+    rows = np.repeat(np.arange(R, dtype=np.int64), K)
+    hist = np.bincount(rows * (NR + 1) + ev_bin, minlength=R * (NR + 1)).reshape(
+        R, NR + 1
+    )
+    j_star = np.cumsum(hist[:, :NR], axis=1) - 1  # last event idx <= rung; -1 = none
+    jc = np.clip(j_star, 0, K - 1)
+    ridx = np.arange(R, dtype=np.int64)[:, None]
+    u_r = u_traj[ridx, jc].astype(np.uint64)
+    b_r = b_traj[ridx, jc]
+    regs = np.where(j_star < 0, ZERO, (u_r << U64(d)) | b_r)  # (R, NR)
+    regs = regs.reshape(C, m, NR).transpose(0, 2, 1).reshape(C * NR, m)
+
+    est_ml = np.empty(C * NR, np.float64)
+    iters = np.zeros(C * NR, np.int64)
+    for lo in range(0, C * NR, estimate_chunk):
+        hi = min(lo + estimate_chunk, C * NR)
+        agg, bhist = contribute_vec_batch(regs[lo:hi], t, d, p)
+        it = np.zeros(hi - lo, np.int64)
+        est_ml[lo:hi] = estimate_from_coefficients(agg, bhist, t, d, p, iters_out=it)
+        iters[lo:hi] = it
+    err_ml = est_ml.reshape(C, NR) / rungs[None, :] - 1.0
+    return err_ml, err_mart, iters.reshape(C, NR)
+
+
+def simulate_errors_full(
+    spark: SparkSession,
+    t: int = 2,
+    d: int = 20,
+    p: int = 8,
+    num_cycles: int = 1000,
+    ladder: list[float] | None = None,
+    seed: int = 42,
+    exact_limit: int = 1_000_000,
+    cycles_per_chunk: int = 16,
+) -> DataFrame:
+    """Distributed reference-fidelity simulation. Emits per-rung PARTIAL
+    moment rows per task (961 rows per chunk, never the 1e8 per-(cycle,
+    rung) stream — the map-side-combine shape), to be finished by
+    :func:`full_error_summary`."""
+    if ladder is None:
+        ladder = reference_ladder()
+    rungs = np.asarray(sorted(ladder), np.float64)
+    nr = len(rungs)
+
+    def run(iterator):
+        luts = _event_luts(t, d, p)
+        for pdf in iterator:
+            ids = pdf["id"].tolist()
+            agg = {
+                "n": np.zeros(nr, np.int64),
+                "s_ml": np.zeros(nr), "s2_ml": np.zeros(nr),
+                "s_mart": np.zeros(nr), "s2_mart": np.zeros(nr),
+                "min_it": np.full(nr, np.iinfo(np.int64).max),
+                "s_it": np.zeros(nr, np.int64),
+                "max_it": np.zeros(nr, np.int64),
+            }
+            for lo in range(0, len(ids), cycles_per_chunk):
+                chunk = ids[lo : lo + cycles_per_chunk]
+                err_ml, err_mart, iters = replay_cycle_batch(
+                    chunk, t, d, p, rungs, seed, exact_limit, luts
+                )
+                agg["n"] += len(chunk)
+                agg["s_ml"] += err_ml.sum(axis=0)
+                agg["s2_ml"] += (err_ml * err_ml).sum(axis=0)
+                agg["s_mart"] += err_mart.sum(axis=0)
+                agg["s2_mart"] += (err_mart * err_mart).sum(axis=0)
+                agg["min_it"] = np.minimum(agg["min_it"], iters.min(axis=0))
+                agg["s_it"] += iters.sum(axis=0)
+                agg["max_it"] = np.maximum(agg["max_it"], iters.max(axis=0))
+            yield pd.DataFrame(
+                {
+                    "rung": rungs,
+                    "cycles": agg["n"],
+                    "s_ml": agg["s_ml"], "s2_ml": agg["s2_ml"],
+                    "s_mart": agg["s_mart"], "s2_mart": agg["s2_mart"],
+                    "min_it": agg["min_it"], "s_it": agg["s_it"],
+                    "max_it": agg["max_it"],
+                }
+            )
+
+    par = max(spark.sparkContext.defaultParallelism, 4)
+    return spark.range(0, num_cycles, 1, par).mapInPandas(
+        run,
+        "rung double, cycles long, s_ml double, s2_ml double, "
+        "s_mart double, s2_mart double, min_it long, s_it long, max_it long",
+    )
+
+
+def full_error_summary(partials: DataFrame, t: int, d: int, p: int) -> DataFrame:
+    """Reduce partial moments to the reference's per-rung CSV columns."""
+    rse_ml = theoretical_rse_ml(t, d, p)
+    rse_mart = theoretical_rse_martingale(t, d, p)
+    g = (
+        partials.groupBy("rung")
+        .agg(
+            F.sum("cycles").alias("cycles"),
+            F.sum("s_ml").alias("s_ml"), F.sum("s2_ml").alias("s2_ml"),
+            F.sum("s_mart").alias("s_mart"), F.sum("s2_mart").alias("s2_mart"),
+            F.min("min_it").alias("min_iterations"),
+            F.sum("s_it").alias("s_it"),
+            F.max("max_it").alias("max_iterations"),
+        )
+        .select(
+            "rung", "cycles",
+            (F.col("s_ml") / F.col("cycles")).alias("bias_ml"),
+            F.sqrt(F.col("s2_ml") / F.col("cycles")).alias("rmse_ml"),
+            F.lit(rse_ml).alias("rse_ml"),
+            (F.col("s_mart") / F.col("cycles")).alias("bias_martingale"),
+            F.sqrt(F.col("s2_mart") / F.col("cycles")).alias("rmse_martingale"),
+            F.lit(rse_mart).alias("rse_martingale"),
+            "min_iterations",
+            (F.col("s_it") / F.col("cycles")).alias("mean_iterations"),
+            "max_iterations",
+        )
+        .orderBy("rung")
+    )
+    return g
+
+
+def _jdouble(x: float) -> str:
+    """Java-double-style rendering for the CSV (Infinity / NaN literals)."""
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if math.isnan(x):
+        return "NaN"
+    return repr(float(x))
+
+
+def write_full_csv(
+    summary_pdf: pd.DataFrame,
+    path: str,
+    t: int,
+    d: int,
+    p: int,
+    num_cycles: int,
+    exact_limit: int = 1_000_000,
+    sketch_name: str = "exaloglog",
+) -> None:
+    """The reference's exact 10-column semicolon CSV
+    (≙ ExaLogLogEstimationErrorSimulation.java:172-233, incl. the metadata
+    line and per-estimator bias/rmse/theoretical-RSE columns)."""
+    with open(path, "w") as f:
+        f.write(
+            f"sketch_name={sketch_name}; t={t}; d={d}; p={p}; "
+            f"num_cycles={num_cycles}; "
+            f"large_scale_simulation_mode_distinct_count_limit={exact_limit}\n"
+        )
+        f.write(
+            "distinct count; relative bias maximum likelihood; "
+            "relative rmse maximum likelihood; "
+            "theoretical relative standard error maximum likelihood; "
+            "relative bias martingale; relative rmse martingale; "
+            "theoretical relative standard error martingale; "
+            "min num iterations; mean num iterations; max num iterations\n"
+        )
+        for _, r in summary_pdf.iterrows():
+            f.write(
+                "; ".join(
+                    [
+                        _jdouble(r["rung"]),
+                        _jdouble(r["bias_ml"]),
+                        _jdouble(r["rmse_ml"]),
+                        _jdouble(r["rse_ml"]),
+                        _jdouble(r["bias_martingale"]),
+                        _jdouble(r["rmse_martingale"]),
+                        _jdouble(r["rse_martingale"]),
+                        str(int(r["min_iterations"])),
+                        _jdouble(r["mean_iterations"]),
+                        str(int(r["max_iterations"])),
+                    ]
+                )
+                + "\n"
+            )

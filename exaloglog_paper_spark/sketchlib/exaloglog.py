@@ -494,11 +494,16 @@ def _contribute_vec_batch(regs2d: np.ndarray, t: int, d: int, p: int):
 
 
 def estimate_from_coefficients(
-    agg: np.ndarray, b: np.ndarray, t: int, d: int, p: int
+    agg: np.ndarray, b: np.ndarray, t: int, d: int, p: int,
+    iters_out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Batched final estimation step shared by :func:`estimate_batch` and
     the exhaustive enumeration — mirrors ExaLogLog.estimate row-wise,
-    including the agg == 0 saturation edge (0 or +inf by b[63-t-p])."""
+    including the agg == 0 saturation edge (0 or +inf by b[63-t-p]).
+
+    ``iters_out`` (optional int64 (B,)) receives Newton iteration counts —
+    forced to 0 on the agg == 0 rows, where the reference never invokes
+    the solver (its error CSVs show 0 iterations at 1e21 saturation)."""
     m = 1 << p
     # exact uint64 -> correctly-rounded float64 via 32-bit halves (uint64
     # astype float64 is a scalar loop AND this keeps Java-double rounding)
@@ -507,12 +512,14 @@ def estimate_from_coefficients(
     ).astype(np.uint32).astype(np.float64)
     factor = float(m << (t + 1))
     a = af * math.ldexp(1.0, -64) * factor
-    x = solve_ml_equation_batch(a, b, 63 - p - t)
+    x = solve_ml_equation_batch(a, b, 63 - p - t, iters_out=iters_out)
     est = factor * x / (1.0 + ml_bias_correction(t, d) / m)
     zero_rows = agg == ZERO
     if zero_rows.any():
         sat = np.asarray(b)[:, 63 - t - p] != 0
         est = np.where(zero_rows, np.where(sat, np.inf, 0.0), est)
+        if iters_out is not None:
+            iters_out[zero_rows] = 0
     return est
 
 

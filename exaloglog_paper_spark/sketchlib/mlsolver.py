@@ -85,7 +85,11 @@ def solve_maximum_likelihood_equation(
 
 
 def solve_ml_equation_batch(
-    a: np.ndarray, b: np.ndarray, n: int, relative_error_limit: float = 0.0
+    a: np.ndarray,
+    b: np.ndarray,
+    n: int,
+    relative_error_limit: float = 0.0,
+    iters_out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized Algorithm 8 over a batch of (a, b-histogram) systems.
 
@@ -97,6 +101,9 @@ def solve_ml_equation_batch(
     contiguous batch with a fixed-length inner loop.
 
     ``a``: float64 (N,); ``b``: int (N, >=n+1); returns float64 (N,).
+    ``iters_out`` (optional int64 (N,)) receives per-row Newton iteration
+    counts — the same counting as the scalar ``stats["iterations"]`` (one
+    per damped-Newton pass, 0 when the support window is a single level).
     """
     a = np.asarray(a, dtype=np.float64)
     N = len(a)
@@ -112,9 +119,12 @@ def solve_ml_equation_batch(
             continue  # all-zero histogram -> 0.0
         rows = np.flatnonzero(key == k)
         umin, umax = int(k) // 64, int(k) % 64
-        out[rows] = _solve_group(
+        x, its = _solve_group(
             a[rows], bwin[rows, umin : umax + 1], umin, umax, relative_error_limit
         )
+        out[rows] = x
+        if iters_out is not None:
+            iters_out[rows] = its
     return out
 
 
@@ -123,7 +133,8 @@ def _solve_group(
 ) -> np.ndarray:
     """Newton iteration for one (u_min, u_max) support class; ``bw`` is the
     (M, u_max-u_min+1) histogram window. Mirrors the scalar loop step for
-    step, with converged rows masked out of further updates."""
+    step, with converged rows masked out of further updates. Returns
+    ``(x, iterations)`` per row."""
     bw = bw.astype(np.float64)
     width = u_max - u_min + 1
     js = np.arange(u_min, u_max + 1, dtype=np.int64)
@@ -132,13 +143,15 @@ def _solve_group(
     pow_u_max = math.ldexp(1.0, u_max)
     sigma1 = sigma1 * pow_u_max
     a_pow = a * pow_u_max
+    iters = np.zeros(len(a), np.int64)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         x = np.where(a_pow != 0.0, sigma1 / a_pow, np.inf)
         if u_min == u_max:
-            return np.log1p(x) * pow_u_max
+            return np.log1p(x) * pow_u_max, iters
         x = np.expm1(np.log1p(x) * (sigma0 / sigma1))
         active = np.arange(len(a))
         while len(active):
+            iters[active] += 1
             xs = x[active]
             bws = bw[active]
             lam = np.ones_like(xs)
@@ -166,4 +179,4 @@ def _solve_group(
             x[active] = new_x
             keep = cont & (eps > rel) & (new_x > xs)
             active = active[keep]
-    return np.log1p(x) * pow_u_max
+    return np.log1p(x) * pow_u_max, iters

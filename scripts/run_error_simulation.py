@@ -1,8 +1,18 @@
-"""Produce the repo's estimation-error artifact (reference-style CSV):
-bias/rmse vs theoretical RSE across a geometric cardinality ladder to 1e12.
+"""Produce the repo's estimation-error artifacts at the reference's OWN
+fidelity: the +5% ladder from 1 to 1e21 (961 rungs), exact inserts to 1e6
+(large-scale simulation mode beyond), and BOTH estimators' bias/rmse per
+rung with the reference's 10-column CSV header
+(≙ ExaLogLogEstimationErrorSimulation.java + results/error/*.csv).
 
-Usage: python scripts/run_error_simulation.py [--cycles 2000] [--t 2 --d 20 --p 8]
-Writes artifacts/estimation-error-t{t}-d{d}-p{p}.csv
+Usage:
+  python scripts/run_error_simulation.py --t 2 --d 20 --p 8 --cycles 100000
+  python scripts/run_error_simulation.py --grid --cycles 10000 \
+      --headline-cycles 100000     # all 16 published configs; the headline
+                                   # (2,20,8) at full 100k-cycle fidelity
+
+Writes artifacts/estimation-error-t{t}-d{d}-p{p}.csv. The metadata line
+records the actual num_cycles, so coarser non-headline runs are
+self-documenting.
 """
 
 from __future__ import annotations
@@ -10,44 +20,71 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from exaloglog_paper_spark.experiments.error_simulation import (  # noqa: E402
-    error_summary,
-    simulate_errors,
-    write_reference_style_csv,
+from exaloglog_paper_spark.experiments.replay import (  # noqa: E402
+    full_error_summary,
+    reference_ladder,
+    simulate_errors_full,
+    write_full_csv,
 )
 from exaloglog_paper_spark.session import get_spark  # noqa: E402
+
+# the reference's published grid (results/error/ + java/build.gradle)
+GRID = [
+    (t, d, p)
+    for (t, d) in [(1, 9), (2, 16), (2, 20), (2, 24)]
+    for p in [4, 6, 8, 10]
+]
+HEADLINE = (2, 20, 8)
+
+
+def run_config(spark, t, d, p, cycles, exact_limit, ladder):
+    t0 = time.time()
+    partials = simulate_errors_full(
+        spark, t, d, p,
+        num_cycles=cycles, ladder=ladder, seed=42, exact_limit=exact_limit,
+    )
+    pdf = full_error_summary(partials, t, d, p).toPandas()
+    os.makedirs("artifacts", exist_ok=True)
+    out = f"artifacts/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
+    write_full_csv(pdf, out, t, d, p, num_cycles=cycles, exact_limit=exact_limit)
+    print(
+        f"wrote {out}: {len(pdf)} rungs, {cycles} cycles, "
+        f"{time.time() - t0:.0f}s", flush=True,
+    )
+    return pdf
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cycles", type=int, default=2000)
+    ap.add_argument("--cycles", type=int, default=10_000)
+    ap.add_argument("--headline-cycles", type=int, default=100_000)
     ap.add_argument("--t", type=int, default=2)
     ap.add_argument("--d", type=int, default=20)
     ap.add_argument("--p", type=int, default=8)
-    ap.add_argument("--max-n", type=float, default=1e12)
-    ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--max-n", type=float, default=1e21)
+    ap.add_argument("--exact-limit", type=int, default=1_000_000)
+    ap.add_argument("--grid", action="store_true",
+                    help="run all 16 published configs")
     args = ap.parse_args()
 
-    ladder = []
-    n = 1.0
-    while n <= args.max_n:
-        ladder.append(float(round(n)) if n < 1e15 else n)
-        n *= args.ratio
+    ladder = reference_ladder(args.max_n)
     spark = get_spark(app_name="error-sim")
     spark.sparkContext.setLogLevel("ERROR")
-    errors = simulate_errors(
-        spark, args.t, args.d, args.p,
-        num_cycles=args.cycles, ladder=ladder, seed=42, exact_limit=100_000,
-    )
-    pdf = error_summary(errors, args.t, args.d, args.p).toPandas()
-    os.makedirs("artifacts", exist_ok=True)
-    out = f"artifacts/estimation-error-t{args.t:02d}-d{args.d:02d}-p{args.p:02d}.csv"
-    write_reference_style_csv(pdf, out, args.t, args.d, args.p)
-    print("wrote", out)
-    print(pdf.to_string(index=False))
+    if args.grid:
+        for (t, d, p) in GRID:
+            cycles = (
+                args.headline_cycles if (t, d, p) == HEADLINE else args.cycles
+            )
+            run_config(spark, t, d, p, cycles, args.exact_limit, ladder)
+    else:
+        pdf = run_config(
+            spark, args.t, args.d, args.p, args.cycles, args.exact_limit, ladder
+        )
+        print(pdf.head(20).to_string(index=False))
     spark.stop()
 
 

@@ -291,3 +291,177 @@ def test_token_error_simulation_pipeline_and_csv(tmp_path, spark):
         ]
         back = pd.read_csv(out, sep=";", skiprows=1)
         assert len(back) == 2
+
+
+# ---------------------------------------------------------------------------
+# reference-fidelity replay engine (experiments/replay.py)
+# ---------------------------------------------------------------------------
+
+
+def test_reference_ladder_matches_published_grid():
+    """The +5% BigInt ladder must equal the reference CSVs' first column
+    value-for-value: 961 rungs from 1 to 1e21, including the double-rounded
+    top entries (TestUtils.getDistinctCountValues(1e21, 0.05))."""
+    from exaloglog_paper_spark.experiments.replay import reference_ladder
+
+    lad = reference_ladder()
+    assert len(lad) == 961
+    assert lad[:12] == [float(i) for i in range(1, 13)]
+    # published CSV tail rows (exaloglog-estimation-error-t02-d20-p08.csv)
+    assert lad[-3:] == [9.070294784580497e20, 9.523809523809523e20, 1e21]
+    # +5% descent property everywhere above the integer head
+    for a, b in zip(lad[400:-1], lad[401:]):
+        assert b <= a * 1.0501 and b > a
+
+
+def test_replay_engine_matches_sequential_add_exactly():
+    """The vectorized replay must reproduce the per-element sequential
+    semantics EXACTLY in the exact-insert regime: byte-identical register
+    trajectories and matching ML + martingale estimates at every rung,
+    against add_hashes_martingale on the same splitmix stream."""
+    from exaloglog_paper_spark.experiments.replay import (
+        _event_luts,
+        replay_cycle_batch,
+    )
+    from exaloglog_paper_spark.sketchlib.martingale import (
+        MartingaleEstimator,
+        add_hashes_martingale,
+    )
+
+    t, d, p = 2, 20, 8
+    seed, exact_limit = 42, 20_000
+    rungs = np.array(
+        [1.0, 2.0, 3.0, 5.0, 10.0, 50.0, 100.0, 1000.0, 5000.0, 20000.0]
+    )
+    err_ml, err_mart, iters = replay_cycle_batch(
+        [0, 1, 2], t, d, p, rungs, seed, exact_limit, _event_luts(t, d, p)
+    )
+    for ci in range(3):
+        hseed = int(splitmix64_stream((seed << 32) | 0x5EED, 1, offset=ci)[0])
+        h = splitmix64_stream(hseed, exact_limit)
+        sk = ExaLogLog.create(t, d, p)
+        est = MartingaleEstimator()
+        done = 0
+        for ri, n in enumerate(rungs):
+            n = int(n)
+            add_hashes_martingale(sk, h[done:n], est)
+            done = n
+            st = {}
+            ml = sk.estimate(stats=st)
+            assert abs((ml / n - 1.0) - err_ml[ci, ri]) < 1e-9, (ci, ri)
+            assert (
+                abs((est.distinct_count_estimate / n - 1.0) - err_mart[ci, ri]) < 1e-9
+            ), (ci, ri)
+            assert st.get("iterations", 0) == iters[ci, ri], (ci, ri)
+    # martingale at n=1 is exact — the reference CSV's first row shows 0.0
+    assert np.all(err_mart[:, 0] == 0.0)
+
+
+def test_batch_solver_iteration_counts_match_scalar():
+    """solve_ml_equation_batch's iters_out must count exactly like the
+    scalar solver's stats['iterations'] (the CSV columns depend on it)."""
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        contribute_vec_batch,
+        estimate_from_coefficients,
+    )
+    from exaloglog_paper_spark.sketchlib.simulate import generate_exaloglog_poisson
+
+    t, d, p = 2, 20, 8
+    rng = np.random.default_rng(3)
+    sks = [
+        generate_exaloglog_poisson(n, t, d, p, rng)
+        for n in [1, 5, 100, 10_000, 1e8, 1e14]
+    ]
+    regs = np.stack([s.regs for s in sks])
+    agg, b = contribute_vec_batch(regs, t, d, p)
+    its = np.zeros(len(sks), np.int64)
+    est = estimate_from_coefficients(agg, b, t, d, p, iters_out=its)
+    for i, s in enumerate(sks):
+        st = {}
+        want = s.estimate(stats=st)
+        assert est[i] == pytest.approx(want, rel=1e-12)
+        assert its[i] == st.get("iterations", 0), i
+
+
+def test_full_fidelity_simulation_signatures(spark):
+    """The distributed reference-fidelity pipeline reproduces the published
+    signatures end to end: martingale error exactly 0 at n=1, both
+    estimators' rmse ≈ their published RSEs mid-range, and the 1e21
+    saturation row (ML bias/rmse -> Infinity with 0 solver iterations,
+    martingale bias ≈ -0.849, the reference CSV's final row)."""
+    import math
+
+    from exaloglog_paper_spark.experiments.replay import (
+        full_error_summary,
+        simulate_errors_full,
+    )
+    from exaloglog_paper_spark.sketchlib.constants import (
+        theoretical_rse_martingale,
+    )
+
+    t, d, p = 2, 20, 8
+    ladder = [1.0, 10.0, 1e3, 1e5, 1e9, 1e13, 1e17, 1e21]
+    cycles = 96
+    partials = simulate_errors_full(
+        spark, t, d, p, num_cycles=cycles, ladder=ladder, seed=13,
+        exact_limit=100_000,
+    )
+    rows = {r.rung: r for r in full_error_summary(partials, t, d, p).collect()}
+    assert set(rows) == set(ladder)
+    assert all(r.cycles == cycles for r in rows.values())
+    r1 = rows[1.0]
+    assert r1.bias_martingale == 0.0 and r1.rmse_martingale == 0.0
+    rse_ml = theoretical_rse_ml(t, d, p)
+    rse_mart = theoretical_rse_martingale(t, d, p)
+    for n in [1e5, 1e9, 1e13]:
+        r = rows[n]
+        assert 0.6 * rse_ml < r.rmse_ml < 1.45 * rse_ml, (n, r.rmse_ml)
+        assert 0.6 * rse_mart < r.rmse_martingale < 1.45 * rse_mart, (
+            n, r.rmse_martingale,
+        )
+        assert abs(r.bias_ml) < 5 * rse_ml / math.sqrt(cycles)
+    sat = rows[1e21]
+    assert math.isinf(sat.bias_ml) and math.isinf(sat.rmse_ml)
+    assert sat.min_iterations == 0 and sat.max_iterations == 0
+    # published: -0.848692...; per-cycle spread is tiny at this rung
+    assert abs(sat.bias_martingale - (-0.8487)) < 0.02, sat.bias_martingale
+    assert abs(sat.rmse_martingale - 0.8487) < 0.02, sat.rmse_martingale
+
+
+def test_full_csv_header_matches_reference(tmp_path, spark):
+    """write_full_csv must carry the reference's exact metadata line and
+    10-column header (ExaLogLogEstimationErrorSimulation.java:187-197),
+    with Java-style Infinity literals at saturation."""
+    from exaloglog_paper_spark.experiments.replay import (
+        full_error_summary,
+        simulate_errors_full,
+        write_full_csv,
+    )
+
+    t, d, p = 2, 16, 4
+    partials = simulate_errors_full(
+        spark, t, d, p, num_cycles=24, ladder=[10.0, 1e21], seed=3,
+        exact_limit=10_000,
+    )
+    pdf = full_error_summary(partials, t, d, p).toPandas()
+    out = str(tmp_path / "full.csv")
+    write_full_csv(pdf, out, t, d, p, num_cycles=24, exact_limit=10_000)
+    with open(out) as f:
+        meta = f.readline().strip()
+        assert meta == (
+            "sketch_name=exaloglog; t=2; d=16; p=4; num_cycles=24; "
+            "large_scale_simulation_mode_distinct_count_limit=10000"
+        )
+        header = f.readline().strip()
+        assert header == (
+            "distinct count; relative bias maximum likelihood; "
+            "relative rmse maximum likelihood; "
+            "theoretical relative standard error maximum likelihood; "
+            "relative bias martingale; relative rmse martingale; "
+            "theoretical relative standard error martingale; "
+            "min num iterations; mean num iterations; max num iterations"
+        )
+        rows = [ln.strip().split("; ") for ln in f]
+    assert len(rows) == 2
+    # saturation rendering parity: ML columns are Java-style Infinity
+    assert rows[1][1] == "Infinity" and rows[1][2] == "Infinity"
