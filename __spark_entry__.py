@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ell_distinct_words_per_source_bound": Q.ell_distinct_words_per_source_bound,
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
+        "martingale_distinct_tokens_bound": Q.martingale_distinct_tokens_bound,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
         "salted_vs_mapside_consistency": Q.salted_vs_mapside_consistency,
         "sketch_rollup_tokens": Q.sketch_rollup_tokens,
@@ -295,6 +296,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT tot.source AS source, total_tokens, exact_distinct_tokens,
                    TRUE AS within_bound
             FROM tot JOIN ex USING (source)
+        """,
+        "martingale_distinct_tokens_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            ex AS (
+                SELECT source, count(DISTINCT t) AS exact_distinct_tokens
+                FROM (SELECT source, unnest(tokens) AS t FROM tt) GROUP BY source
+            ),
+            tot AS (
+                SELECT source, sum(n_tok)::BIGINT AS total_tokens FROM tt GROUP BY source
+            )
+            SELECT tot.source AS source, total_tokens, exact_distinct_tokens,
+                   TRUE AS martingale_within_bound
+            FROM tot JOIN ex USING (source)
+            ORDER BY source
         """,
         "sketch_rollup_tokens": f"""
             WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),

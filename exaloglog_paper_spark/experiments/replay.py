@@ -50,12 +50,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sketchlib.bitops import ONE, U64, ZERO, rshift_clamped, splitmix64_stream
+from ..sketchlib.bitops import U64, ZERO, splitmix64_stream
 from ..sketchlib.constants import theoretical_rse_martingale, theoretical_rse_ml
 from ..sketchlib.exaloglog import (
     contribute_vec_batch,
     estimate_from_coefficients,
     hash_to_idx_k,
+)
+from ..sketchlib.replay import (  # noqa: F401  (re-exported for harness users)
+    _a_scaled,
+    _event_luts,
+    _u64_to_f64,
+    martingale_curve,
+    replay_first_hits,
 )
 
 
@@ -72,123 +79,6 @@ def reference_ladder(max_n: float = 1e21, rel: float = 0.05) -> list[float]:
         c = min(c - 1, math.ceil(float(c) * factor))
     out.reverse()
     return [float(x) for x in out]
-
-
-def _event_luts(t: int, d: int, p: int):
-    """Per-update-value lookup tables for the replay.
-
-    - ``pw[k]`` = 2^((-p-φ(k)) & 63): the uint64-scaled probability that a
-      random hash produces exactly (k, fixed idx) — the martingale
-      decrement of a history-bit set (≙ ExaLogLog.java's update-value
-      probability; the bit-set branch of add(long, MartingaleEstimator)).
-    - ``om[u]`` = omega_scaled(u): the u-dependent term of a register's
-      change-probability contribution (Algorithm 3 / contribute_reference).
-    - ``factor[k]`` = m·2^φ(k): the geometric scale of the sampled
-      first-hit cardinality of (k, idx) (≙ TestUtils.generateTransitions).
-    """
-    m = 1 << p
-    k_max = (65 - p - t) << t
-
-    def phi(k: int) -> int:
-        return t if k == 0 else min(t + 1 + ((k - 1) >> t), 64 - p)
-
-    pw = np.zeros(k_max + 1, np.uint64)
-    om = np.zeros(k_max + 1, np.uint64)
-    factor = np.zeros(k_max + 1, np.float64)
-    for k in range(k_max + 1):
-        j = phi(k)
-        om[k] = ((((1 - t + j) << t) - k) << ((-p - j) & 63)) & 0xFFFFFFFFFFFFFFFF
-        if k >= 1:
-            pw[k] = 1 << ((-p - j) & 63)
-            factor[k] = m * math.ldexp(1.0, j)
-    return k_max, pw, om, factor
-
-
-def _a_scaled(u: np.ndarray, b: np.ndarray, pw: np.ndarray, om: np.ndarray, d: int) -> np.ndarray:
-    """uint64-scaled change-probability contribution a(u, B) per register
-    (≙ contribute_reference / Algorithm 3): omega(u) plus pw[k] for every
-    UNSET history bit of a value k in [max(1, u-d), u-1]. Bounded by
-    2^(64-p), so the sum never wraps."""
-    a = om[u]
-    for off in range(1, d + 1):
-        k = u - off
-        valid = k >= 1
-        unset = (b >> U64(d - off)) & ONE == ZERO
-        a = a + np.where(valid & unset, pw[np.maximum(k, 0)], ZERO)
-    return a
-
-
-def _u64_to_f64(x: np.ndarray) -> np.ndarray:
-    """Exact uint64 -> float64 via 32-bit halves (uint64 astype float64 is
-    a numpy scalar loop — see bitops.nlz64 note)."""
-    return (x >> U64(32)).astype(np.uint32).astype(np.float64) * 4294967296.0 + (
-        x & U64(0xFFFFFFFF)
-    ).astype(np.uint32).astype(np.float64)
-
-
-def replay_first_hits(
-    counts: np.ndarray,  # (R, K) float64 first-hit cardinality of value k=col+1
-    t: int,
-    d: int,
-    p: int,
-    luts=None,
-):
-    """Replay per-register event streams given per-(register, value)
-    first-hit cardinalities. Returns ``(cs, u_traj, b_traj, dec)``:
-    per-register events sorted by cardinality, the register state AFTER
-    each event, and the uint64-scaled martingale decrement of each event
-    (0 for no-ops)."""
-    if luts is None:
-        luts = _event_luts(t, d, p)
-    k_max, pw, om, _factor = luts
-    R, K = counts.shape
-    assert K == k_max
-
-    order = np.argsort(counts, axis=1, kind="stable")
-    cs = np.take_along_axis(counts, order, axis=1)
-    kv = (order + 1).astype(np.int64)
-
-    u = np.zeros(R, np.int64)
-    b = np.zeros(R, np.uint64)
-    u_traj = np.empty((R, K), np.int32)
-    b_traj = np.empty((R, K), np.uint64)
-    dec = np.zeros((R, K), np.uint64)
-    for j in range(K):
-        kj = kv[:, j]
-        nm = np.flatnonzero(kj > u)
-        if nm.size:
-            a_old = _a_scaled(u[nm], b[nm], pw, om, d)
-            delta = (kj[nm] - u[nm]).astype(np.uint64)
-            b[nm] = rshift_clamped((ONE << U64(d)) | b[nm], delta)
-            u[nm] = kj[nm]
-            dec[nm, j] = a_old - _a_scaled(u[nm], b[nm], pw, om, d)
-        off = u - kj
-        bs = np.flatnonzero((off > 0) & (off <= d))
-        if bs.size:
-            b[bs] |= ONE << (U64(d) - off[bs].astype(np.uint64))
-            dec[bs, j] = pw[kv[bs, j]]
-        u_traj[:, j] = u
-        b_traj[:, j] = b
-    return cs, u_traj, b_traj, dec
-
-
-def martingale_curve(
-    cs: np.ndarray,  # (C, E) per-cycle globally count-sorted event cardinalities
-    dec: np.ndarray,  # (C, E) uint64 decrements in the same order
-    a_final_sum: np.ndarray,  # (C,) uint64 Σ a(final register states) per cycle
-):
-    """Cumulative martingale estimate after each event, with EXACT change
-    probabilities: P before event i is (a_final_sum + Σ_{j>=i} dec_j)·2^-64
-    — an exact uint64 tail identity (the decs telescope register-wise to
-    a(empty)-a(final)), immune to 1-cumsum cancellation. The all-events sum
-    equals 2^64 exactly and wraps to 0 for the first event (P=1)."""
-    S = np.cumsum(dec[:, ::-1], axis=1)[:, ::-1]  # uint64, mod 2^64
-    P_scaled = S + a_final_sum[:, None]
-    Pf = _u64_to_f64(P_scaled) * 2.0**-64
-    Pf[:, 0:1] = np.where(P_scaled[:, 0:1] == ZERO, 1.0, Pf[:, 0:1])
-    with np.errstate(divide="ignore"):
-        inc = np.where(dec > ZERO, 1.0 / Pf, 0.0)
-    return np.cumsum(inc, axis=1)
 
 
 def replay_cycle_batch(

@@ -1168,3 +1168,58 @@ def token_passthrough_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(1)
         ).alias("bad_tokens"),
     )
+
+
+def martingale_distinct_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source martingale (HIP) distinct-token estimate within its
+    published error bound — the reference's SECOND estimator exercised as a
+    query operator, not only in unit tests.
+
+    The martingale is order-dependent and explicitly per-stream
+    (MartingaleEstimator.java javadoc: not for distributed merging), so the
+    operator scope is one sequential stream per group: ``applyInPandas``
+    over sources, each group's token arrays concatenated in doc_id order
+    and fed through the vectorized first-hit replay
+    (sketchlib.replay.martingale_estimate_stream — batch-speed, pinned to
+    the per-element add(long, MartingaleEstimator) semantics). The oracle
+    recomputes exact per-source distinct tokens from the parquet twin;
+    ``martingale_within_bound`` asserts |est/exact - 1| <= 5*RSE_mart with
+    RSE_mart = 0.019858·sqrt(256/2^p) (≙ the published martingale RSE
+    constant, martingale_theoretical_relative_standard_error_constants)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sketchlib.bitops import splitmix64
+    from ..sketchlib.constants import theoretical_rse_martingale
+    from ..sketchlib.replay import martingale_estimate_stream
+
+    t_, d_, p_ = 2, 20, 8
+    bound = 5 * theoretical_rse_martingale(t_, d_, p_)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+
+    def est_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")  # deterministic stream order
+        flat = np.concatenate([np.asarray(a) for a in pdf["tokens"]])
+        # same value->hash mapping as the sketch pipeline (ops/agg.py)
+        h = splitmix64(flat.astype(np.int64, copy=False).view(np.uint64))
+        est = martingale_estimate_stream(h, t_, d_, p_)
+        exact = int(pd.unique(flat).size)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "total_tokens": [int(pdf["n_tok"].sum())],
+                "exact_distinct_tokens": [exact],
+                "martingale_within_bound": [abs(est / exact - 1.0) <= bound],
+            }
+        )
+
+    return (
+        df.groupBy("source")
+        .applyInPandas(
+            est_group,
+            "source string, total_tokens long, exact_distinct_tokens long, "
+            "martingale_within_bound boolean",
+        )
+        .orderBy("source")
+    )

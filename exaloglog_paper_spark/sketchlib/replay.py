@@ -1,0 +1,194 @@
+"""Exact vectorized replay of sequential ExaLogLog streams.
+
+The martingale (HIP) estimator is defined sequentially — every insert that
+changes sketch state adds ``1/P`` where P is the current state-change
+probability (≙ ExaLogLog.java add(long, MartingaleEstimator) +
+MartingaleEstimator.java). A per-element Python loop would be the
+forbidden slow path, but the sequential semantics are replayable in bulk:
+a register's state can only change at the FIRST arrival of each
+(update value k, register idx) pair — duplicates are provably no-ops
+(u only grows; a history bit is set at most once per value, and values
+below the window can never re-enter it). So the complete trajectory,
+including every martingale decrement, is a function of the per-pair
+first-hit positions, all recoverable with vectorized numpy:
+
+- first hits: one reversed fancy assignment over the hashed stream
+  (last write wins → first occurrence);
+- per-register replay: one pass over the K possible update values in
+  first-hit order (running max + history bitfield per the add semantics);
+- probabilities: each state change's decrement is an EXACT uint64-scaled
+  integer (difference of Algorithm-3 register contributions, via lookup
+  tables), and P before event i is ``(A_final + Σ_{j≥i} dec_j)·2^-64`` —
+  an exact tail-sum identity (the decrements telescope register-wise to
+  a(empty) - a(final)), immune to the catastrophic 1-minus-cumsum
+  cancellation a naive vectorization hits once P ~ 1e-15.
+
+Equality with the sequential ``martingale.add_hashes_martingale`` loop is
+pinned by tests (same stream → same estimate to float tolerance; identical
+register bytes). Used by the per-partition martingale query operator and
+by the reference-fidelity Monte-Carlo harness (experiments/replay.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .bitops import ONE, U64, ZERO, as_u64, rshift_clamped
+from .exaloglog import hash_to_idx_k
+
+
+def _event_luts(t: int, d: int, p: int):
+    """Per-update-value lookup tables for the replay.
+
+    - ``pw[k]`` = 2^((-p-φ(k)) & 63): the uint64-scaled probability that a
+      random hash produces exactly (k, fixed idx) — the martingale
+      decrement of a history-bit set (the bit-set branch of
+      ExaLogLog.java add(long, MartingaleEstimator)).
+    - ``om[u]`` = omega_scaled(u): the u-dependent term of a register's
+      change-probability contribution (Algorithm 3 / contribute_reference).
+    - ``factor[k]`` = m·2^φ(k): the geometric scale of a sampled first-hit
+      cardinality of (k, idx) (≙ TestUtils.generateTransitions).
+    """
+    m = 1 << p
+    k_max = (65 - p - t) << t
+
+    def phi(k: int) -> int:
+        return t if k == 0 else min(t + 1 + ((k - 1) >> t), 64 - p)
+
+    pw = np.zeros(k_max + 1, np.uint64)
+    om = np.zeros(k_max + 1, np.uint64)
+    factor = np.zeros(k_max + 1, np.float64)
+    for k in range(k_max + 1):
+        j = phi(k)
+        om[k] = ((((1 - t + j) << t) - k) << ((-p - j) & 63)) & 0xFFFFFFFFFFFFFFFF
+        if k >= 1:
+            pw[k] = 1 << ((-p - j) & 63)
+            factor[k] = m * math.ldexp(1.0, j)
+    return k_max, pw, om, factor
+
+
+def _a_scaled(u: np.ndarray, b: np.ndarray, pw: np.ndarray, om: np.ndarray, d: int) -> np.ndarray:
+    """uint64-scaled change-probability contribution a(u, B) per register
+    (≙ contribute_reference / Algorithm 3): omega(u) plus pw[k] for every
+    UNSET history bit of a value k in [max(1, u-d), u-1]. Bounded by
+    2^(64-p), so the sum never wraps."""
+    a = om[u]
+    for off in range(1, d + 1):
+        k = u - off
+        valid = k >= 1
+        unset = (b >> U64(d - off)) & ONE == ZERO
+        a = a + np.where(valid & unset, pw[np.maximum(k, 0)], ZERO)
+    return a
+
+
+def _u64_to_f64(x: np.ndarray) -> np.ndarray:
+    """Exact uint64 -> float64 via 32-bit halves (uint64 astype float64 is
+    a numpy scalar loop — see bitops.nlz64 note)."""
+    return (x >> U64(32)).astype(np.uint32).astype(np.float64) * 4294967296.0 + (
+        x & U64(0xFFFFFFFF)
+    ).astype(np.uint32).astype(np.float64)
+
+
+def replay_first_hits(
+    counts: np.ndarray,  # (R, K) float64 first-hit cardinality of value k=col+1
+    t: int,
+    d: int,
+    p: int,
+    luts=None,
+):
+    """Replay per-register event streams given per-(register, value)
+    first-hit cardinalities (+inf = never hit; such phantom events sort
+    after every real one and cannot perturb any earlier P — the tail-sum
+    identity telescopes over arbitrary suffixes). Returns
+    ``(cs, u_traj, b_traj, dec)``: per-register events sorted by
+    cardinality, the register state AFTER each event, and the
+    uint64-scaled martingale decrement of each event (0 for no-ops)."""
+    if luts is None:
+        luts = _event_luts(t, d, p)
+    k_max, pw, om, _factor = luts
+    R, K = counts.shape
+    assert K == k_max
+
+    order = np.argsort(counts, axis=1, kind="stable")
+    cs = np.take_along_axis(counts, order, axis=1)
+    kv = (order + 1).astype(np.int64)
+
+    u = np.zeros(R, np.int64)
+    b = np.zeros(R, np.uint64)
+    u_traj = np.empty((R, K), np.int32)
+    b_traj = np.empty((R, K), np.uint64)
+    dec = np.zeros((R, K), np.uint64)
+    for j in range(K):
+        kj = kv[:, j]
+        nm = np.flatnonzero(kj > u)
+        if nm.size:
+            a_old = _a_scaled(u[nm], b[nm], pw, om, d)
+            delta = (kj[nm] - u[nm]).astype(np.uint64)
+            b[nm] = rshift_clamped((ONE << U64(d)) | b[nm], delta)
+            u[nm] = kj[nm]
+            dec[nm, j] = a_old - _a_scaled(u[nm], b[nm], pw, om, d)
+        off = u - kj
+        bs = np.flatnonzero((off > 0) & (off <= d))
+        if bs.size:
+            b[bs] |= ONE << (U64(d) - off[bs].astype(np.uint64))
+            dec[bs, j] = pw[kv[bs, j]]
+        u_traj[:, j] = u
+        b_traj[:, j] = b
+    return cs, u_traj, b_traj, dec
+
+
+def martingale_curve(
+    cs: np.ndarray,  # (C, E) per-cycle globally count-sorted event cardinalities
+    dec: np.ndarray,  # (C, E) uint64 decrements in the same order
+    a_final_sum: np.ndarray,  # (C,) uint64 Σ a(final register states) per cycle
+) -> np.ndarray:
+    """Cumulative martingale estimate after each event, with EXACT change
+    probabilities: P before event i is (a_final_sum + Σ_{j>=i} dec_j)·2^-64
+    — an exact uint64 tail identity. The all-events sum is 2^64 exactly for
+    a saturating replay and wraps to 0 for the first event (P=1)."""
+    S = np.cumsum(dec[:, ::-1], axis=1)[:, ::-1]  # uint64, mod 2^64
+    P_scaled = S + a_final_sum[:, None]
+    Pf = _u64_to_f64(P_scaled) * 2.0**-64
+    Pf[:, 0:1] = np.where(P_scaled[:, 0:1] == ZERO, 1.0, Pf[:, 0:1])
+    with np.errstate(divide="ignore"):
+        inc = np.where(dec > ZERO, 1.0 / Pf, 0.0)
+    return np.cumsum(inc, axis=1)
+
+
+def martingale_estimate_stream(
+    hashes: np.ndarray, t: int, d: int, p: int, luts=None
+) -> float:
+    """Martingale (HIP) distinct-count estimate of one sequential hash
+    stream — the vectorized equivalent of feeding every element through
+    ``martingale.add_hashes_martingale`` in order (pinned by tests), at
+    batch speed: O(n) hashing + one O(m·K) replay, no per-element Python.
+
+    Order-dependent by definition — per-partition / per-group streams only,
+    exactly as the reference prescribes for its martingale estimator
+    (MartingaleEstimator.java javadoc: not for distributed merging).
+    """
+    if luts is None:
+        luts = _event_luts(t, d, p)
+    k_max, pw, om, _factor = luts
+    m = 1 << p
+    h = as_u64(np.asarray(hashes))
+    n = len(h)
+    idx, k = hash_to_idx_k(h, t, p)
+    key = idx.astype(np.int64) * k_max + (k.astype(np.int64) - 1)
+    first = np.zeros(m * k_max, np.float64)
+    pos = np.arange(1, n + 1, dtype=np.float64)
+    first[key[::-1]] = pos[::-1]  # last write wins -> first occurrence
+    counts = np.where(first > 0, first, np.inf).reshape(m, k_max)
+    cs, u_traj, b_traj, dec = replay_first_hits(counts, t, d, p, luts)
+    flat_c = cs.ravel()
+    flat_d = dec.ravel()
+    o = np.argsort(flat_c, kind="stable")
+    gcnt = flat_c[o]
+    gdec = flat_d[o]
+    a_fin = _a_scaled(u_traj[:, -1].astype(np.int64), b_traj[:, -1], pw, om, d)
+    a_sum = a_fin.sum(dtype=np.uint64)
+    mart = martingale_curve(gcnt[None, :], gdec[None, :], np.array([a_sum], np.uint64))[0]
+    j = int(np.searchsorted(gcnt, float(n), side="right")) - 1
+    return float(mart[j]) if j >= 0 else 0.0

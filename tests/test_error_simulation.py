@@ -465,3 +465,28 @@ def test_full_csv_header_matches_reference(tmp_path, spark):
     assert len(rows) == 2
     # saturation rendering parity: ML columns are Java-style Infinity
     assert rows[1][1] == "Infinity" and rows[1][2] == "Infinity"
+
+
+def test_martingale_estimate_stream_matches_sequential_with_duplicates():
+    """The vectorized stream martingale (sketchlib.replay) must equal the
+    per-element sequential loop on realistic duplicate-heavy streams —
+    duplicates are the no-op case the first-hit replay must get right."""
+    from exaloglog_paper_spark.sketchlib.martingale import (
+        MartingaleEstimator,
+        add_hashes_martingale,
+    )
+    from exaloglog_paper_spark.sketchlib.replay import martingale_estimate_stream
+
+    t, d, p = 2, 20, 8
+    rng = np.random.default_rng(7)
+    for n, n_distinct in [(0, 0), (1, 1), (5000, 700), (40_000, 9000)]:
+        if n == 0:
+            assert martingale_estimate_stream(np.empty(0, np.uint64), t, d, p) == 0.0
+            continue
+        values = rng.integers(0, n_distinct, size=n).astype(np.uint64)
+        h = splitmix64_stream(0xD1CE, n_distinct)[values]  # duplicate-heavy
+        sk = ExaLogLog.create(t, d, p)
+        seq = MartingaleEstimator()
+        add_hashes_martingale(sk, h, seq)
+        got = martingale_estimate_stream(h, t, d, p)
+        assert got == pytest.approx(seq.distinct_count_estimate, rel=1e-9), n
