@@ -38,27 +38,34 @@ def test_compressed_state_economics():
 
 
 def test_exaloglog_mvp_matches_published(spark):
-    r = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=400, seed=1)
+    """Pinned at statistical power that detects a real estimator drift:
+    10k cycles puts the MVP's Monte-Carlo rel-sd at ~1.4% (mse sampling),
+    so the 5% tolerance is ~3.5 sigma — a few-percent regression fails,
+    where the old 400-cycle/20% pin could not tell noise from damage.
+    Runtime ~15 s on 8 cores (Poisson state sampling, ~1 ms/cycle)."""
+    r = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=10_000, seed=1)
     assert r["state_bytes"] == 896
-    assert r["mvp"] == pytest.approx(3.691, rel=0.2), r
-    assert abs(r["bias"]) < 5 * r["rmse"] / 20  # bias ~ 0 at 400 cycles
+    assert r["mvp"] == pytest.approx(3.691, rel=0.05), r
+    assert abs(r["bias"]) < 5 * r["rmse"] / 100  # bias ~ 0 at 10k cycles
 
 
 def test_exaloglog_2_24_8_mvp_matches_published(spark):
     """The second reproducible ELL config from the paper's empirical-MVP
     grid (results/comparison-empirical-mvp/'ExaLogLog (t = 2, d = 24,
-    p = 8).csv' last row): MVP 3.787 at 32-bit registers -> 1024 B."""
-    r = empirical_mvp(spark, 2, 24, 8, n=1_000_000.0, num_cycles=400, seed=5)
+    p = 8).csv' last row): MVP 3.787 at 32-bit registers -> 1024 B.
+    Same 10k-cycle / 5% power as the headline pin — tight enough to
+    distinguish 3.787 from the (2,20,8) config's 3.691."""
+    r = empirical_mvp(spark, 2, 24, 8, n=1_000_000.0, num_cycles=10_000, seed=5)
     assert r["state_bytes"] == 1024
-    assert r["mvp"] == pytest.approx(3.787, rel=0.2), r
+    assert r["mvp"] == pytest.approx(3.787, rel=0.05), r
 
 
 def test_hll_mvp_matches_published_and_worse_than_ell(spark):
     # HLL = t=0, d=0 shared kernel; p=11 -> 6-bit registers, 1536 B
-    r = empirical_mvp(spark, 0, 0, 11, n=1_000_000.0, num_cycles=1000, seed=2)
+    r = empirical_mvp(spark, 0, 0, 11, n=1_000_000.0, num_cycles=10_000, seed=2)
     assert r["state_bytes"] == 1536
-    assert r["mvp"] == pytest.approx(6.459, rel=0.15), r
+    assert r["mvp"] == pytest.approx(6.459, rel=0.05), r
     # the paper's headline: ExaLogLog needs ~43% less space at equal error
-    # (theoretical mvp ratio 3.673/6.449 = 0.57; 1000-cycle noise ~7%)
-    ell = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=1000, seed=3)
-    assert ell["mvp"] < 0.75 * r["mvp"], (ell["mvp"], r["mvp"])
+    # (theoretical mvp ratio 3.673/6.449 = 0.57; 10k-cycle noise ~2%)
+    ell = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=10_000, seed=3)
+    assert ell["mvp"] < 0.65 * r["mvp"], (ell["mvp"], r["mvp"])
