@@ -153,6 +153,23 @@ def write_reference_style_csv(summary_pdf: pd.DataFrame, path: str, t: int, d: i
 # ---------------------------------------------------------------------------
 
 
+def reference_token_ladder(max_n: int = 100_000, rel: float = 0.05) -> list[float]:
+    """≙ TestUtils.getDistinctCountValues(1, maxDistinctCount, 0.05) — the
+    long-typed +5% descent used by TokenEstimationErrorSimulation.java:79
+    (206 rungs for 1e5; verified value-for-value against the published
+    token CSVs' first column)."""
+    import math
+
+    factor = 1.0 / (1.0 + rel)
+    c = int(max_n)
+    out = []
+    while c >= 1:
+        out.append(c)
+        c = min(c - 1, int(math.ceil(c * factor)))
+    out.reverse()
+    return [float(x) for x in out]
+
+
 def simulate_token_errors(
     spark: SparkSession,
     v: int = 26,
@@ -163,13 +180,31 @@ def simulate_token_errors(
     """(rung, err, iters) rows for the sketch-free token-stream estimator:
     per cycle, a growing prefix of a splitmix64 hash stream is tokenized
     (computeToken) and estimated at each ladder rung — the same
-    incremental-prefix structure as the reference's per-cycle token arrays."""
-    from ..sketchlib.exaloglog import compute_token, estimate_distinct_from_tokens
+    incremental-prefix structure as the reference's per-cycle token arrays.
+
+    All rungs of a cycle are evaluated in ONE pass (row-for-row equal to
+    calling estimate_distinct_from_tokens per prefix — pinned in tests):
+    the prefix's distinct-token set is exactly the tokens whose FIRST
+    occurrence lands in the prefix, so one np.unique(return_index) plus a
+    per-rung cumulative nlz histogram reconstructs every (a, b) coefficient
+    system, batch-solved with per-rung iteration counts. This is what lets
+    the artifacts carry the reference's own 206-rung x 100k-cycle fidelity
+    (~8 ms/cycle instead of ~0.6 s/cycle for per-prefix re-sorting)."""
+    import math
+
+    from ..sketchlib.bitops import ZERO, U64
+    from ..sketchlib.exaloglog import compute_token
+    from ..sketchlib.mlsolver import solve_ml_equation_batch
+    from ..sketchlib.replay import _u64_to_f64
 
     if ladder is None:
-        ladder = geometric_ladder(100_000, ratio=2.0)
-    ladder = sorted(int(n) for n in ladder)
-    max_n = ladder[-1]
+        ladder = reference_token_ladder()
+    rungs = np.asarray(sorted(int(n) for n in ladder), np.int64)
+    max_n = int(rungs[-1])
+    nr = len(rungs)
+    max_nlz_m1 = 63 - v
+    zvec = np.uint64(1 << max_nlz_m1) >> np.arange(64, dtype=np.uint64)
+    rungs_f = rungs.astype(np.float64)
 
     def run(iterator):
         for pdf in iterator:
@@ -180,12 +215,25 @@ def simulate_token_errors(
                 )
                 hashes = splitmix64_stream(cycle_seed, max_n)
                 tokens = compute_token(hashes, v)
-                for n in ladder:
-                    st = {}
-                    est = estimate_distinct_from_tokens(tokens[:n], v, stats=st)
-                    rows_rung.append(float(n))
-                    rows_err.append(est / n - 1.0)
-                    rows_iters.append(st.get("iterations", 0))
+                utok, first_idx = np.unique(tokens, return_index=True)
+                jj = np.minimum(utok & U64(63), U64(max_nlz_m1)).astype(np.int64)
+                ev_bin = np.searchsorted(rungs, first_idx + 1, side="left")
+                b = (
+                    np.bincount(ev_bin * 64 + jj, minlength=nr * 64)
+                    .reshape(nr, 64)
+                    .cumsum(axis=0)
+                )
+                with np.errstate(over="ignore"):  # 0 ≡ 2^64 wraparound convention
+                    a_int = ZERO - (
+                        b.astype(np.uint64) * zvec[None, :]
+                    ).sum(axis=1, dtype=np.uint64)
+                a = _u64_to_f64(a_int) * math.ldexp(1.0, -max_nlz_m1)
+                its = np.zeros(nr, np.int64)
+                x = solve_ml_equation_batch(a, b, max_nlz_m1, iters_out=its)
+                est = x * math.ldexp(1.0, v + 1)
+                rows_rung.extend(rungs_f.tolist())
+                rows_err.extend((est / rungs_f - 1.0).tolist())
+                rows_iters.extend(its.tolist())
             yield pd.DataFrame(
                 {"rung": rows_rung, "err": rows_err, "iters": rows_iters}
             )

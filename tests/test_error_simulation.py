@@ -490,3 +490,60 @@ def test_martingale_estimate_stream_matches_sequential_with_duplicates():
         add_hashes_martingale(sk, h, seq)
         got = martingale_estimate_stream(h, t, d, p)
         assert got == pytest.approx(seq.distinct_count_estimate, rel=1e-9), n
+
+
+def test_reference_token_ladder_matches_published():
+    from exaloglog_paper_spark.experiments.error_simulation import (
+        reference_token_ladder,
+    )
+
+    lad = reference_token_ladder()
+    assert len(lad) == 206
+    assert lad[0] == 1.0 and lad[-1] == 100_000.0
+    assert lad[:12] == [float(i) for i in range(1, 13)]
+    # published token CSVs' tail (token-estimation-error-26.csv)
+    assert lad[-3:] == [90704.0, 95239.0, 100000.0]
+
+
+def test_token_prefix_batch_equals_scalar_estimator():
+    """The one-pass prefix evaluation inside simulate_token_errors must be
+    row-for-row equal to estimate_distinct_from_tokens on each prefix —
+    same estimates AND iteration counts (scalar stats)."""
+    import math
+
+    from exaloglog_paper_spark.sketchlib.bitops import U64, ZERO
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        compute_token,
+        estimate_distinct_from_tokens,
+    )
+    from exaloglog_paper_spark.sketchlib.mlsolver import solve_ml_equation_batch
+    from exaloglog_paper_spark.sketchlib.replay import _u64_to_f64
+
+    for v in [6, 12, 26]:
+        max_nlz_m1 = 63 - v
+        rungs = np.array([1, 2, 7, 100, 5_000, 50_000], np.int64)
+        hashes = splitmix64_stream(0xCAFE ^ v, int(rungs[-1]))
+        tokens = compute_token(hashes, v)
+        utok, first_idx = np.unique(tokens, return_index=True)
+        jj = np.minimum(utok & U64(63), U64(max_nlz_m1)).astype(np.int64)
+        ev_bin = np.searchsorted(rungs, first_idx + 1, side="left")
+        b = (
+            np.bincount(ev_bin * 64 + jj, minlength=len(rungs) * 64)
+            .reshape(len(rungs), 64)
+            .cumsum(axis=0)
+        )
+        zvec = np.uint64(1 << max_nlz_m1) >> np.arange(64, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            a_int = ZERO - (b.astype(np.uint64) * zvec[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        a = _u64_to_f64(a_int) * math.ldexp(1.0, -max_nlz_m1)
+        its = np.zeros(len(rungs), np.int64)
+        est = solve_ml_equation_batch(a, b, max_nlz_m1, iters_out=its) * math.ldexp(
+            1.0, v + 1
+        )
+        for i, n in enumerate(rungs.tolist()):
+            st = {}
+            want = estimate_distinct_from_tokens(tokens[:n], v, stats=st)
+            assert est[i] == pytest.approx(want, rel=1e-12), (v, n)
+            assert its[i] == st.get("iterations", 0), (v, n)
