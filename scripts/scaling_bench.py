@@ -31,15 +31,15 @@ path = {path!r}
 spec = ExaLogLogSpec(2, 20, 10)
 # warm: page cache + python workers + codegen
 scan_sketch_agg(spark, path, ExaLogLogSpec(2, 20, 6), token_array_values("tokens")).collect()
-best = None
+times = []
 n_tokens = 0
 for _ in range({reps}):
     t0 = time.monotonic()
     row = scan_sketch_agg(spark, path, spec, token_array_values("tokens")).collect()[0]
     dt = time.monotonic() - t0
     n_tokens = row.n_values
-    best = dt if best is None else min(best, dt)
-print("RESULT " + json.dumps({{"cpus": {cpus}, "seconds": best, "tokens": n_tokens}}))
+    times.append(dt)
+print("RESULT " + json.dumps({{"cpus": {cpus}, "seconds": min(times), "times": times, "tokens": n_tokens}}))
 spark.stop()
 """
 
@@ -76,25 +76,33 @@ def main() -> None:
 
     levels = [int(x) for x in args.levels.split(",")]
     results = [run_level(c, path, args.reps) for c in levels]
-    lo, hi = results[0], results[-1]
-    speedup = lo["seconds"] / hi["seconds"]
-    ratio = hi["cpus"] / lo["cpus"]
-    efficiency = speedup / ratio
+    pairs = []
+    for lo, hi in zip(results, results[1:]):
+        speedup = lo["seconds"] / hi["seconds"]
+        ratio = hi["cpus"] / lo["cpus"]
+        pairs.append(
+            {
+                "from_cpus": lo["cpus"],
+                "to_cpus": hi["cpus"],
+                "speedup": round(speedup, 3),
+                "core_ratio": ratio,
+                "efficiency": round(speedup / ratio, 3),
+            }
+        )
     report = {
         "metric": "scaling_efficiency",
         "sf": args.sf,
-        "tokens": hi["tokens"],
+        "tokens": results[-1]["tokens"],
         "levels": [
             {
                 "cpus": r["cpus"],
                 "seconds": round(r["seconds"], 3),
+                "spread": [round(min(r["times"]), 3), round(max(r["times"]), 3)],
                 "tokens_per_sec": round(r["tokens"] / r["seconds"], 1),
             }
             for r in results
         ],
-        "speedup": round(speedup, 3),
-        "core_ratio": ratio,
-        "efficiency": round(efficiency, 3),
+        "pairs": pairs,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(report))
@@ -105,24 +113,30 @@ def _update_bench_md(report: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "SCALING.md")
     rows = "\n".join(
-        f"| local[{r['cpus']}] | {r['seconds']} s | {r['tokens_per_sec']:,.0f} tokens/s |"
+        f"| local[{r['cpus']}] | {r['seconds']} s | [{r['spread'][0]}, {r['spread'][1]}] s "
+        f"| {r['tokens_per_sec']:,.0f} tokens/s |"
         for r in report["levels"]
+    )
+    pair_lines = "\n".join(
+        f"- {pr['from_cpus']} -> {pr['to_cpus']} cores: speedup **{pr['speedup']}x** "
+        f"(core ratio {pr['core_ratio']}x) -> **efficiency {pr['efficiency']}** "
+        "(north-rule target >= 0.8)"
+        for pr in report["pairs"]
     )
     content = f"""# BENCH baseline — scaling evidence ({report['timestamp']})
 
 Headline job: global ExaLogLog(2,20,10) distinct-token sketch build over the
 {report['sf']} synthetic token table ({report['tokens']:,} tokens; parquet scan ->
 vectorized partial sketches -> tree merge -> ML estimate), identical input at
-two parallelism levels (sandbox proxy for N -> 4N executors; min of repeated
-runs to damp co-tenant noise).
+each parallelism level (sandbox proxy for the north rule's N -> 4N executor
+criterion, measured at BOTH quadruplings 2->8 and 8->32; min of repeated
+runs to damp co-tenant noise, per-level [min, max] spread disclosed).
 
-| parallelism | wall time | throughput |
-|---|---|---|
+| parallelism | wall time (min of reps) | spread | throughput |
+|---|---|---|---|
 {rows}
 
-- speedup {report['levels'][0]['cpus']} -> {report['levels'][-1]['cpus']} cores: **{report['speedup']}x**
-  (core ratio {report['core_ratio']}x)
-- **scaling efficiency: {report['efficiency']}** (north-rule target >= 0.8)
+{pair_lines}
 
 Reference single-thread baseline (BASELINE.md): 25.4 ns/element insert
 (~39M elements/s, in-memory pre-hashed JMH loop, c5.metal). Our per-core
