@@ -1,5 +1,15 @@
 """Monte-Carlo estimation-error simulation as a Spark pipeline.
 
+Two generations live here and in ``replay.py``:
+
+- ``replay.simulate_errors_full`` (experiments/replay.py) is the
+  REFERENCE-FIDELITY pipeline — full 961-rung ladder to 1e21, exact
+  inserts to 1e6, ML + martingale columns, 10-column CSV parity. It is
+  what regenerates ``artifacts/estimation-error-*.csv``.
+- the functions below are the lighter general-purpose harness (arbitrary
+  ladders, ML-only summaries) kept for quick statistical acceptance tests,
+  plus the TOKEN-stream error simulation at reference fidelity.
+
 The Spark-native equivalent of the reference's headline experiment
 (``ExaLogLogEstimationErrorSimulation.java:84-233``): fan out seeded cycles
 (there: ForkJoinPool + ThreadLocal; here: ``spark.range(cycles)`` +

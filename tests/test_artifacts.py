@@ -1,0 +1,187 @@
+"""Artifact-fidelity gates: the CSVs under artifacts/ must carry the
+reference's exact shape (ladder, 10-column header, metadata) and match the
+reference's OWN published curves within Monte-Carlo tolerance.
+
+Published pin values are hardcoded from results/error/*.csv of the
+reference artifact (100k cycles); tests never read /root/reference at
+runtime. Band limits are calibrated from the published curves: rmse/RSE
+sits in [0.90, 1.01] across the mid ladder (small-n sketches are
+legitimately sub-RSE because the d history bits retain nearly full
+information at low fill), widened by the artifacts' own Monte-Carlo noise.
+"""
+
+import glob
+import math
+import os
+import re
+
+import numpy as np
+import pytest
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+
+_SKETCH_COLS = 10
+_HEADLINE = (2, 20, 8)
+
+
+def _load_sketch_csv(path):
+    with open(path) as f:
+        meta_line = f.readline().strip()
+        header = f.readline().strip()
+        rows = []
+        for ln in f:
+            vals = []
+            for x in ln.split(";"):
+                x = x.strip()
+                vals.append(
+                    math.inf if x == "Infinity" else (-math.inf if x == "-Infinity" else float(x))
+                )
+            rows.append(vals)
+    meta = dict(kv.split("=") for kv in meta_line.split("; "))
+    return meta, header, np.array(rows)
+
+
+def _sketch_artifacts():
+    return sorted(glob.glob(os.path.join(ART, "estimation-error-t*.csv")))
+
+
+def test_sketch_artifact_grid_is_complete():
+    """All 16 published configs are present (results/error/ grid)."""
+    names = {os.path.basename(p) for p in _sketch_artifacts()}
+    want = {
+        f"estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
+        for (t, d) in [(1, 9), (2, 16), (2, 20), (2, 24)]
+        for p in [4, 6, 8, 10]
+    }
+    assert want <= names, want - names
+
+
+@pytest.mark.parametrize("path", _sketch_artifacts())
+def test_sketch_artifact_reference_parity(path):
+    from exaloglog_paper_spark.experiments.replay import reference_ladder
+    from exaloglog_paper_spark.sketchlib.constants import (
+        theoretical_rse_martingale,
+        theoretical_rse_ml,
+    )
+
+    m = re.search(r"t(\d+)-d(\d+)-p(\d+)", path)
+    t, d, p = (int(x) for x in m.groups())
+    meta, header, a = _load_sketch_csv(path)
+
+    # metadata + header parity (ExaLogLogEstimationErrorSimulation.java:172-197)
+    assert meta["sketch_name"] == "exaloglog"
+    assert (int(meta["t"]), int(meta["d"]), int(meta["p"])) == (t, d, p)
+    assert int(meta["large_scale_simulation_mode_distinct_count_limit"]) == 1_000_000
+    cycles = int(meta["num_cycles"])
+    if (t, d, p) == _HEADLINE:
+        assert cycles == 100_000  # the reference's own fidelity
+    else:
+        assert cycles >= 10_000
+    assert header.split("; ")[0] == "distinct count"
+    assert a.shape == (961, _SKETCH_COLS)
+
+    # ladder parity: value-for-value the published grid
+    assert np.array_equal(a[:, 0], np.asarray(reference_ladder()))
+
+    # theoretical RSE columns: exact constants, every row
+    assert np.allclose(a[:, 3], theoretical_rse_ml(t, d, p), rtol=1e-12)
+    assert np.allclose(a[:, 6], theoretical_rse_martingale(t, d, p), rtol=1e-12)
+
+    # n=1: martingale exact (the reference CSV's first row shows 0.0),
+    # solver never iterates
+    assert a[0, 4] == 0.0 and a[0, 5] == 0.0
+    assert a[0, 7] == 0 and a[0, 9] == 0
+
+    # mid-ladder band: published curves sit in [0.904, 1.010] (ML) /
+    # [0.897, 1.010] (martingale) for 1e4 <= n < 1e17; widen by the
+    # artifact's own MC noise (~1/sqrt(2*cycles) per rung, ~4 sigma)
+    slack = 4.0 / math.sqrt(2 * cycles)
+    sel = (a[:, 0] >= 1e4) & (a[:, 0] < 1e17) & np.isfinite(a[:, 2])
+    r_ml = a[sel, 2] / a[sel, 3]
+    r_mt = a[sel, 5] / a[sel, 6]
+    assert r_ml.min() > 0.90 - slack and r_ml.max() < 1.01 + slack, (
+        path, r_ml.min(), r_ml.max(),
+    )
+    assert r_mt.min() > 0.89 - slack and r_mt.max() < 1.01 + slack, (
+        path, r_mt.min(), r_mt.max(),
+    )
+    # bias ~ 0 mid-ladder (5 sigma of the per-rung bias estimator)
+    btol = 5 * a[sel, 3] / math.sqrt(cycles)
+    assert np.all(np.abs(a[sel, 1]) < btol), path
+
+    # saturation signature at 1e21: every config's transitions exhaust well
+    # below 1e21, so ML -> Infinity with 0 iterations and the martingale
+    # freezes at a large negative bias with rmse ~ |bias|
+    last = a[-1]
+    assert math.isinf(last[2]) and math.isinf(last[1])
+    assert last[7] == 0 and last[9] == 0
+    assert -1.0 < last[4] < -0.3, (path, last[4])
+    assert abs(last[5] - abs(last[4])) < 0.02
+
+
+def test_headline_artifact_pins_published_rows():
+    """(2,20,8) at 100k cycles pins against the reference's OWN published
+    row values (same cycle count -> diff tolerance ~5 sigma of the two
+    independent 100k-cycle estimates)."""
+    meta, _, a = _load_sketch_csv(
+        os.path.join(ART, "estimation-error-t02-d20-p08.csv")
+    )
+    cycles = int(meta["num_cycles"])
+    assert cycles == 100_000
+
+    # published row n=987524536870 (exaloglog-estimation-error-t02-d20-p08.csv)
+    i = int(np.argmin(np.abs(a[:, 0] - 987524536870.0)))
+    assert a[i, 0] == 987524536870.0
+    rmse_tol = 5 * math.sqrt(2.0 / cycles)  # rel, two independent estimates
+    assert abs(a[i, 2] / 0.022705897164503563 - 1) < rmse_tol, a[i, 2]
+    assert abs(a[i, 5] / 0.019950413345763904 - 1) < rmse_tol, a[i, 5]
+    bias_tol = 5 * 0.0227 * math.sqrt(2.0 / cycles)
+    assert abs(a[i, 1] - (-1.8095708278057432e-07)) < bias_tol
+    assert abs(a[i, 4] - 3.0233152102245695e-05) < bias_tol
+
+    # published saturation row 1e21: bias -0.848692..., rmse 0.848693...;
+    # per-cycle spread at this rung is ~1e-3, so 5 sigma is ~1.5e-5 — use
+    # 3e-3 to cover PRNG-family differences in the extreme tail
+    last = a[-1]
+    assert last[0] == 1e21
+    assert abs(last[4] - (-0.848692520866777)) < 3e-3, last[4]
+    assert abs(last[5] - 0.8486930942698914) < 3e-3, last[5]
+
+
+# published (bias, rmse) at n=100,000 per v (token-estimation-error-{v}.csv)
+_TOKEN_PUB_1E5 = {
+    6: (0.004331009121376007, 0.08204744548201154),
+    8: (0.0010074870996202164, 0.04045585210008861),
+    10: (1.8393035878039036e-4, 0.02004633756759846),
+    12: (7.540853098038906e-5, 0.009621977914882732),
+    18: (-1.1239267423904792e-6, 8.120060924486249e-4),
+    26: (-1.792273666849287e-7, 4.975376357199079e-5),
+}
+
+
+@pytest.mark.parametrize("v", sorted(_TOKEN_PUB_1E5))
+def test_token_artifact_reference_parity(v):
+    from exaloglog_paper_spark.experiments.error_simulation import (
+        reference_token_ladder,
+    )
+
+    path = os.path.join(ART, f"token-estimation-error-v{v:02d}.csv")
+    with open(path) as f:
+        meta = f.readline().strip()
+        f.readline()
+        rows = np.array(
+            [[float(x) for x in ln.split(";")] for ln in f]
+        )
+    mkv = dict(kv.split("=") for kv in meta.split("; "))
+    assert int(mkv["token_parameter"]) == v
+    cycles = int(mkv["num_cycles"])
+    assert cycles >= 50_000  # reference fidelity: 100k
+    assert np.array_equal(rows[:, 0], np.asarray(reference_token_ladder()))
+
+    pub_bias, pub_rmse = _TOKEN_PUB_1E5[v]
+    last = rows[-1]
+    assert last[0] == 100_000.0
+    rmse_tol = 5 * math.sqrt(1.0 / cycles + 1.0 / 100_000)
+    assert abs(last[2] / pub_rmse - 1) < rmse_tol, (v, last[2])
+    bias_tol = 5 * pub_rmse * math.sqrt(1.0 / cycles + 1.0 / 100_000)
+    assert abs(last[1] - pub_bias) < bias_tol, (v, last[1])
