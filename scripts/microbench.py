@@ -83,6 +83,30 @@ def main() -> None:
     out["estimate_batched_us_per_state"] = round(
         best_of(lambda: spec.finalize_batch(states), reps=5) / len(states) * 1e6, 1
     )
+
+    # sequential martingale over a full stream: per-element loop (the
+    # reference's only shape) vs the vectorized first-hit replay
+    # (sketchlib/replay.py) — same estimate, batch speed
+    from exaloglog_paper_spark.sketchlib.martingale import (
+        MartingaleEstimator,
+        add_hashes_martingale,
+    )
+    from exaloglog_paper_spark.sketchlib.replay import martingale_estimate_stream
+
+    mh = hashes[:200_000]
+    out["martingale_loop_ns_per_element"] = round(
+        best_of(
+            lambda: add_hashes_martingale(
+                ExaLogLog.create(t, d, p), mh, MartingaleEstimator()
+            ),
+            reps=1,
+        )
+        / len(mh) * 1e9, 1,
+    )
+    out["martingale_replay_ns_per_element"] = round(
+        best_of(lambda: martingale_estimate_stream(hashes, t, d, p), reps=3)
+        / n * 1e9, 1,
+    )
     print(json.dumps(out))
 
 

@@ -147,6 +147,17 @@ def test_headline_artifact_pins_published_rows():
     assert abs(last[4] - (-0.848692520866777)) < 3e-3, last[4]
     assert abs(last[5] - 0.8486930942698914) < 3e-3, last[5]
 
+    # solver-health parity: mean Newton iterations per rung match the
+    # reference's published column (0; 2.39765 at n=10; 3.58126 at n=986;
+    # 5.55899 at n=995362; 5.54148 at n~1e12) — the iteration counter is
+    # semantics, not noise, so the tolerance is pure MC wobble
+    pins = {10.0: 2.39765, 986.0: 3.58126, 995362.0: 5.55899,
+            987524536870.0: 5.54148}
+    for rung, want in pins.items():
+        i = int(np.argmin(np.abs(a[:, 0] - rung)))
+        assert a[i, 0] == rung
+        assert abs(a[i, 8] - want) < 0.05, (rung, a[i, 8], want)
+
 
 # published (bias, rmse) at n=100,000 per v (token-estimation-error-{v}.csv)
 _TOKEN_PUB_1E5 = {
