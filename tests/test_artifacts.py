@@ -92,17 +92,21 @@ def test_sketch_artifact_reference_parity(path):
     assert a[0, 4] == 0.0 and a[0, 5] == 0.0
     assert a[0, 7] == 0 and a[0, 9] == 0
 
-    # mid-ladder band: published curves sit in [0.904, 1.010] (ML) /
-    # [0.897, 1.010] (martingale) for 1e4 <= n < 1e17; widen by the
-    # artifact's own MC noise (~1/sqrt(2*cycles) per rung, ~4 sigma)
+    # mid-ladder band: rmse/RSE ~ 1 once registers are filled. The sub-RSE
+    # low-fill regime is FILL-dependent (n/m), not absolute-n — the
+    # reference's own published p=10 curves still sit at 0.76 at n=1e4
+    # (n/m=10) — so the band starts at n >= 128·m, where every published
+    # curve is back above 0.96; widened by the artifact's own MC noise
+    # (~1/sqrt(2*cycles) per rung, ~4 sigma)
     slack = 4.0 / math.sqrt(2 * cycles)
-    sel = (a[:, 0] >= 1e4) & (a[:, 0] < 1e17) & np.isfinite(a[:, 2])
+    m_regs = 1 << p
+    sel = (a[:, 0] >= 128 * m_regs) & (a[:, 0] < 1e17) & np.isfinite(a[:, 2])
     r_ml = a[sel, 2] / a[sel, 3]
     r_mt = a[sel, 5] / a[sel, 6]
-    assert r_ml.min() > 0.90 - slack and r_ml.max() < 1.01 + slack, (
+    assert r_ml.min() > 0.94 - slack and r_ml.max() < 1.04 + slack, (
         path, r_ml.min(), r_ml.max(),
     )
-    assert r_mt.min() > 0.89 - slack and r_mt.max() < 1.01 + slack, (
+    assert r_mt.min() > 0.93 - slack and r_mt.max() < 1.04 + slack, (
         path, r_mt.min(), r_mt.max(),
     )
     # bias ~ 0 mid-ladder (5 sigma of the per-rung bias estimator)
