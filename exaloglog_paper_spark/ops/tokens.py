@@ -38,7 +38,10 @@ TOKEN_TABLE_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string
 
 # rows per scale factor, aligned with the driver's testdata sf naming
 # (sf1 exists only for the scaling benchmark: ~674M tokens / ~2.7 GB)
-ROWS_PER_SF = {"sf0.001": 1_000, "sf0.01": 20_000, "sf0.1": 200_000, "sf1": 2_000_000}
+ROWS_PER_SF = {"sf0.001": 1_000, "sf0.01": 20_000, "sf0.1": 200_000, "sf1": 2_000_000,
+               # scaling-bench scale: big enough that the 32-core wall is
+               # work-dominated, not DAG-floor-dominated (~2.7B tokens)
+               "sf4": 8_000_000}
 
 
 @lru_cache(maxsize=1)

@@ -47,7 +47,7 @@ spark.stop()
 def run_level(cpus: int, path: str, reps: int) -> dict:
     code = RUNNER.format(repo=REPO, cpus=cpus, path=path, reps=reps)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -60,6 +60,12 @@ def main() -> None:
     ap.add_argument("--sf", default="sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--cooldown", type=int, default=0,
+                    help="seconds to idle between levels — the sandbox "
+                         "hypervisor throttles sustained multi-minute load, "
+                         "so back-to-back levels bias against whichever runs "
+                         "later (measured: identical 32-core reps degrade "
+                         "41->78->101 s under sustained load)")
     args = ap.parse_args()
 
     path = f"/tmp/exaloglog_bench/{args.sf}/tokens.parquet"
@@ -71,11 +77,15 @@ def main() -> None:
              f"import sys; sys.path.insert(0, {REPO!r}); "
              "import bench; from exaloglog_paper_spark.session import get_spark; "
              f"s = get_spark(); bench.materialize_token_table(s, {args.sf!r}); s.stop()"],
-            env=env, check=True, timeout=900,
+            env=env, check=True, timeout=3600,
         )
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = [run_level(c, path, args.reps) for c in levels]
+    results = []
+    for i, c in enumerate(levels):
+        if i and args.cooldown:
+            time.sleep(args.cooldown)
+        results.append(run_level(c, path, args.reps))
     pairs = []
     for lo, hi in zip(results, results[1:]):
         speedup = lo["seconds"] / hi["seconds"]
