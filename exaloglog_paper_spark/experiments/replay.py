@@ -50,13 +50,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..sketchlib.bitops import U64, ZERO, splitmix64_stream
+from ..sketchlib.bitops import splitmix64_stream
 from ..sketchlib.constants import theoretical_rse_martingale, theoretical_rse_ml
-from ..sketchlib.exaloglog import (
-    contribute_vec_batch,
-    estimate_from_coefficients,
-    hash_to_idx_k,
-)
+from ..sketchlib.exaloglog import estimate_from_coefficients, hash_to_idx_k
 from ..sketchlib.replay import (  # noqa: F401  (re-exported for harness users)
     _a_scaled,
     _event_luts,
@@ -127,7 +123,9 @@ def replay_cycle_batch(
         fm = first.reshape(m, K)
         counts[ci] = np.where(fm > 0, fm, samp.T)
 
-    cs, u_traj, b_traj, dec = replay_first_hits(counts.reshape(R, K), t, d, p, luts)
+    cs, u_traj, b_traj, dec, (drow, dcnt, dcell, dwgt) = replay_first_hits(
+        counts.reshape(R, K), t, d, p, luts, collect_b_deltas=True
+    )
 
     # ---- martingale: per-cycle global event order + exact P tail sums
     gorder = np.argsort(cs.reshape(C, m * K), axis=1, kind="stable")
@@ -144,27 +142,42 @@ def replay_cycle_batch(
         est = np.where(jj >= 0, mart_cum[c, np.clip(jj, 0, None)], 0.0)
         err_mart[c] = est / rungs - 1.0
 
-    # ---- ML: register state at each rung via per-register event counts
-    ev_bin = np.searchsorted(rungs, cs.ravel(), side="left")  # == NR beyond last rung
-    rows = np.repeat(np.arange(R, dtype=np.int64), K)
-    hist = np.bincount(rows * (NR + 1) + ev_bin, minlength=R * (NR + 1)).reshape(
-        R, NR + 1
-    )
-    j_star = np.cumsum(hist[:, :NR], axis=1) - 1  # last event idx <= rung; -1 = none
-    jc = np.clip(j_star, 0, K - 1)
-    ridx = np.arange(R, dtype=np.int64)[:, None]
-    u_r = u_traj[ridx, jc].astype(np.uint64)
-    b_r = b_traj[ridx, jc]
-    regs = np.where(j_star < 0, ZERO, (u_r << U64(d)) | b_r)  # (R, NR)
-    regs = regs.reshape(C, m, NR).transpose(0, 2, 1).reshape(C * NR, m)
+    # ---- ML coefficients at every rung from the SPARSE event deltas —
+    # O(events) bookkeeping instead of materializing (R, NR) registers and
+    # contribute-scanning m registers per (cycle, rung). Both inputs of
+    # estimate_from_coefficients are recovered exactly (verified
+    # cell-for-cell vs contribute_vec_batch, tests/test_error_simulation):
+    #  * agg(c) telescopes off the SAME uint64 decrements the martingale
+    #    uses: agg = a_final_sum + Σ dec over events with cnt > rung;
+    #  * b-hist(c) = integer sum of deltas with cnt <= rung (cumsum of a
+    #    (rung-bin, cell) bincount along the rung axis).
+    with np.errstate(over="ignore"):  # deliberate mod-2^64 wraparound
+        tail = np.zeros((C, m * K + 1), np.uint64)
+        np.cumsum(gdec[:, ::-1], axis=1, out=tail[:, 1:])
+        agg = np.empty((C, NR), np.uint64)
+        for c in range(C):
+            # tail of decs over events with cnt > rung: tail[E - j] where
+            # j = #events with cnt <= rung
+            j = np.searchsorted(gcnt[c], rungs, side="right")
+            agg[c] = a_final_sum[c] + tail[c, ::-1][j]
+    cyc = drow // m
+    rbin = np.searchsorted(rungs, dcnt, side="left")  # == NR beyond last rung
+    hist = np.bincount(
+        (cyc * (NR + 1) + rbin) * 64 + dcell.astype(np.int64),
+        weights=dwgt.astype(np.float64),
+        minlength=C * (NR + 1) * 64,
+    ).reshape(C, NR + 1, 64)
+    bhist = np.cumsum(hist[:, :NR, :], axis=1).astype(np.int64).reshape(C * NR, 64)
+    agg = agg.reshape(C * NR)
 
     est_ml = np.empty(C * NR, np.float64)
     iters = np.zeros(C * NR, np.int64)
     for lo in range(0, C * NR, estimate_chunk):
         hi = min(lo + estimate_chunk, C * NR)
-        agg, bhist = contribute_vec_batch(regs[lo:hi], t, d, p)
         it = np.zeros(hi - lo, np.int64)
-        est_ml[lo:hi] = estimate_from_coefficients(agg, bhist, t, d, p, iters_out=it)
+        est_ml[lo:hi] = estimate_from_coefficients(
+            agg[lo:hi], bhist[lo:hi], t, d, p, iters_out=it
+        )
         iters[lo:hi] = it
     err_ml = est_ml.reshape(C, NR) / rungs[None, :] - 1.0
     return err_ml, err_mart, iters.reshape(C, NR)

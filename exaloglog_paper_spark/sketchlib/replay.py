@@ -97,6 +97,7 @@ def replay_first_hits(
     d: int,
     p: int,
     luts=None,
+    collect_b_deltas: bool = False,
 ):
     """Replay per-register event streams given per-(register, value)
     first-hit cardinalities (+inf = never hit; such phantom events sort
@@ -104,16 +105,44 @@ def replay_first_hits(
     identity telescopes over arbitrary suffixes). Returns
     ``(cs, u_traj, b_traj, dec)``: per-register events sorted by
     cardinality, the register state AFTER each event, and the
-    uint64-scaled martingale decrement of each event (0 for no-ops)."""
+    uint64-scaled martingale decrement of each event (0 for no-ops).
+
+    With ``collect_b_deltas=True`` a fifth element is returned: the sparse
+    event-deltas of the ML b-histogram (contribute's per-register
+    ``b[phi(k)-t-1]`` cells, ≙ exaloglog.contribute_reference), as
+    ``(rows, cnts, cells, wgts)`` int64/float64/int16/int8 arrays. The
+    b-histogram of the register set at any cardinality c is then the
+    EXACT integer sum of the deltas with cnt <= c — each history value's
+    cell is added once (direct hit in window, or the old-u entry migrating
+    to a history bit, which lands on the same phi cell so the u-entry only
+    moves when the value leaves the window) and removed at most once (bit
+    shifted out). This turns the per-rung b computation from O(m·rungs)
+    register scans into O(events) bookkeeping."""
     if luts is None:
         luts = _event_luts(t, d, p)
     k_max, pw, om, _factor = luts
     R, K = counts.shape
     assert K == k_max
+    q = 63 - t - p
 
     order = np.argsort(counts, axis=1, kind="stable")
     cs = np.take_along_axis(counts, order, axis=1)
     kv = (order + 1).astype(np.int64)
+
+    # cell[k] = phi(k)-t-1 = min((k-1)>>t, q)  (the contribute b index)
+    cell_lut = np.minimum((np.arange(k_max + 1, dtype=np.int64) - 1) >> t, q)
+    del_rows: list[np.ndarray] = []
+    del_cnts: list[np.ndarray] = []
+    del_cells: list[np.ndarray] = []
+    del_wgts: list[np.ndarray] = []
+
+    def emit(rows_, cnts_, cells_, w):
+        del_rows.append(rows_.astype(np.int64, copy=False))
+        del_cnts.append(cnts_)
+        del_cells.append(cells_.astype(np.int16, copy=False))
+        del_wgts.append(
+            np.full(len(rows_), w, np.int8) if np.isscalar(w) else w
+        )
 
     u = np.zeros(R, np.int64)
     b = np.zeros(R, np.uint64)
@@ -125,6 +154,38 @@ def replay_first_hits(
         nm = np.flatnonzero(kj > u)
         if nm.size:
             a_old = _a_scaled(u[nm], b[nm], pw, om, d)
+            if collect_b_deltas:
+                u_old = u[nm]
+                b_old = b[nm]
+                delta_n = kj[nm] - u_old
+                cnt_n = cs[nm, j]
+                # new u-entry at cell[k_new]
+                emit(nm, cnt_n, cell_lut[kj[nm]], 1)
+                # old u-entry: cancels against its new history bit (same
+                # phi cell) while u_old stays in the window; emit -1 only
+                # when it leaves (delta > d) — or when u_old == 0 (no entry)
+                drop = np.flatnonzero((u_old >= 1) & (delta_n > d))
+                if drop.size:
+                    emit(nm[drop], cnt_n[drop], cell_lut[u_old[drop]], -1)
+                # direct history bits shifted out: position pos < delta
+                # (value v = u_old-d+pos < k_new-d)
+                ones = (
+                    ONE << np.minimum(delta_n, d).astype(np.uint64)
+                ) - ONE
+                lost = b_old & ones
+                pos = 0
+                while pos < d and (lost != ZERO).any():
+                    hit = np.flatnonzero(lost & ONE != ZERO)
+                    if hit.size:
+                        v = u_old[hit] - d + pos
+                        ok = np.flatnonzero(v >= 1)
+                        if ok.size:
+                            emit(
+                                nm[hit[ok]], cnt_n[hit[ok]],
+                                cell_lut[v[ok]], -1,
+                            )
+                    lost >>= ONE
+                    pos += 1
             delta = (kj[nm] - u[nm]).astype(np.uint64)
             b[nm] = rshift_clamped((ONE << U64(d)) | b[nm], delta)
             u[nm] = kj[nm]
@@ -134,9 +195,25 @@ def replay_first_hits(
         if bs.size:
             b[bs] |= ONE << (U64(d) - off[bs].astype(np.uint64))
             dec[bs, j] = pw[kv[bs, j]]
+            if collect_b_deltas:
+                emit(bs, cs[bs, j], cell_lut[kv[bs, j]], 1)
         u_traj[:, j] = u
         b_traj[:, j] = b
-    return cs, u_traj, b_traj, dec
+    if not collect_b_deltas:
+        return cs, u_traj, b_traj, dec
+    if del_rows:
+        bdel = (
+            np.concatenate(del_rows),
+            np.concatenate(del_cnts),
+            np.concatenate(del_cells),
+            np.concatenate(del_wgts),
+        )
+    else:
+        bdel = (
+            np.empty(0, np.int64), np.empty(0, np.float64),
+            np.empty(0, np.int16), np.empty(0, np.int8),
+        )
+    return cs, u_traj, b_traj, dec, bdel
 
 
 def martingale_curve(

@@ -69,16 +69,37 @@ def main() -> None:
     ap.add_argument("--exact-limit", type=int, default=1_000_000)
     ap.add_argument("--grid", action="store_true",
                     help="run all 16 published configs")
+    ap.add_argument("--configs", type=str, default=None,
+                    help="subset as 't,d,p;t,d,p;...' (overrides --grid list)")
+    ap.add_argument("--skip-current", action="store_true",
+                    help="skip configs whose artifact already records the "
+                         "target num_cycles (resumable grid runs)")
     args = ap.parse_args()
 
     ladder = reference_ladder(args.max_n)
     spark = get_spark(app_name="error-sim")
     spark.sparkContext.setLogLevel("ERROR")
-    if args.grid:
-        for (t, d, p) in GRID:
+    if args.grid or args.configs:
+        grid = GRID
+        if args.configs:
+            grid = [
+                tuple(int(x) for x in c.split(","))
+                for c in args.configs.split(";") if c.strip()
+            ]
+        # cheapest first (cost ~ 2^p), so a budget-truncated run still
+        # lands the most configs
+        for (t, d, p) in sorted(grid, key=lambda c: (c[2], c[0], c[1])):
             cycles = (
                 args.headline_cycles if (t, d, p) == HEADLINE else args.cycles
             )
+            if args.skip_current:
+                out = f"artifacts/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
+                if os.path.exists(out):
+                    with open(out) as f:
+                        head = f.readline()
+                    if f"num_cycles={cycles};" in head or f"num_cycles={cycles}\n" in head:
+                        print(f"skip {out}: already at {cycles} cycles", flush=True)
+                        continue
             run_config(spark, t, d, p, cycles, args.exact_limit, ladder)
     else:
         pdf = run_config(

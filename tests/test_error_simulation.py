@@ -547,3 +547,69 @@ def test_token_prefix_batch_equals_scalar_estimator():
             want = estimate_distinct_from_tokens(tokens[:n], v, stats=st)
             assert est[i] == pytest.approx(want, rel=1e-12), (v, n)
             assert its[i] == st.get("iterations", 0), (v, n)
+
+
+def test_b_delta_replay_matches_contribute_at_every_prefix():
+    """The sparse b-histogram event-deltas + dec tail sums reproduce
+    contribute_vec_batch's (agg, b) EXACTLY at arbitrary prefix
+    cardinalities — the identity replay_cycle_batch's per-rung ML
+    coefficients rest on (no per-rung register materialization)."""
+    from exaloglog_paper_spark.sketchlib.replay import (
+        _a_scaled,
+        _event_luts,
+        replay_first_hits,
+    )
+    from exaloglog_paper_spark.sketchlib.exaloglog import (
+        contribute_vec_batch,
+        hash_to_idx_k,
+    )
+    from exaloglog_paper_spark.sketchlib.bitops import U64, ZERO
+
+    for (t, d, p) in [(2, 20, 8), (1, 9, 4), (2, 24, 6), (0, 7, 4), (3, 12, 4)]:
+        luts = _event_luts(t, d, p)
+        k_max, pw, om, _factor = luts
+        m = 1 << p
+        n = 30_000
+        h = splitmix64_stream(987 + t * 100 + d * 10 + p, n)
+        idx, k = hash_to_idx_k(h, t, p)
+        key = idx.astype(np.int64) * k_max + (k.astype(np.int64) - 1)
+        first = np.zeros(m * k_max, np.float64)
+        pos = np.arange(1, n + 1, dtype=np.float64)
+        first[key[::-1]] = pos[::-1]
+        counts = np.where(first > 0, first, np.inf).reshape(m, k_max)
+
+        cs, u_traj, b_traj, dec, (drow, dcnt, dcell, dwgt) = replay_first_hits(
+            counts, t, d, p, luts, collect_b_deltas=True
+        )
+        a_fin = _a_scaled(
+            u_traj[:, -1].astype(np.int64), b_traj[:, -1], pw, om, d
+        )
+        a_sum = a_fin.sum(dtype=np.uint64)
+        flat_c, flat_d = cs.ravel(), dec.ravel()
+        o = np.argsort(flat_c, kind="stable")
+        gcnt, gdec = flat_c[o], flat_d[o]
+        with np.errstate(over="ignore"):
+            rev = np.cumsum(gdec[::-1])[::-1]
+
+        R, K = cs.shape
+        for c in [1, 2, 3, 7, 40, 500, 4_000, n]:
+            jj = (cs <= c).sum(axis=1) - 1
+            jc = np.clip(jj, 0, K - 1)
+            ridx = np.arange(R)
+            regs = np.where(
+                jj < 0,
+                ZERO,
+                (u_traj[ridx, jc].astype(np.uint64) << U64(d)) | b_traj[ridx, jc],
+            )[None, :]
+            agg_ref, b_ref = contribute_vec_batch(regs, t, d, p)
+            j = int(np.searchsorted(gcnt, float(c), side="right"))
+            with np.errstate(over="ignore"):
+                agg_delta = a_sum + (rev[j] if j < len(rev) else np.uint64(0))
+            sel = dcnt <= c
+            b_delta = np.bincount(
+                dcell[sel].astype(np.int64),
+                weights=dwgt[sel].astype(np.float64),
+                minlength=64,
+            ).astype(np.int64)
+            assert agg_delta == agg_ref[0], (t, d, p, c)
+            assert np.array_equal(b_delta, b_ref[0][:64]), (t, d, p, c)
