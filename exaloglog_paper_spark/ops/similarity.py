@@ -18,6 +18,8 @@ the scan by ~2^nbits / probed-buckets.
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -195,9 +197,12 @@ def ivf_cosine_topk(
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: score only vectors whose cell is among the query's nprobe
-    nearest centroids. At scale the table is written partitioned by
-    ivf_cell, so probing prunes whole files; here the filter expresses the
-    same plan."""
+    nearest centroids. The probe set is exploded to one (query, cell) row
+    each, so the probe is an **equi-join on ``ivf_cell``** — a
+    BroadcastHashJoin keyed on the cell (plan-pinned), never a nested-loop
+    ``array_contains`` test of every (row, query) pair. At scale the table
+    is written partitioned by ivf_cell and the same key prunes whole
+    files."""
     if centroids is None:
         centroids = train_ivf_centroids(embeddings, n_centroids, vec_col)
     base = with_ivf_cell(
@@ -208,19 +213,19 @@ def ivf_cosine_topk(
     qx = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
     qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(qx @ centroids.T), axis=1)[:, :nprobe]
+    # one row per (query, probed cell): nprobe distinct cells per query, so
+    # the equi-join below produces each candidate pair exactly once
     q = queries.sparkSession.createDataFrame(
         [
-            (int(qpdf["query_id"][i]), [float(v) for v in qpdf["qvec"][i]], [int(c) for c in probes[i]])
+            (int(qpdf["query_id"][i]), [float(v) for v in qpdf["qvec"][i]], int(c))
             for i in range(len(qpdf))
+            for c in probes[i]
         ],
-        "query_id long, qvec array<double>, probe_cells array<int>",
+        "query_id long, qvec array<double>, ivf_cell int",
     )
     scored = (
-        base.join(
-            F.broadcast(q),
-            (F.col("neighbor_id") != F.col("query_id"))
-            & F.array_contains(F.col("probe_cells"), F.col("ivf_cell")),
-        )
+        base.join(F.broadcast(q), on=["ivf_cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             _dot_expr("vec", "qvec") / (_norm_expr("vec") * _norm_expr("qvec")),
@@ -244,7 +249,8 @@ def lsh_cosine_topk(
     nbits: int = 8,
     probe_hamming: int = 2,
     seed: int = 7,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors in LSH buckets within
     ``probe_hamming`` of the query's bucket (multi-probe sign-LSH).
@@ -258,12 +264,10 @@ def lsh_cosine_topk(
     whole files (plan-pinned); a nested-loop hamming filter would instead
     popcount-test every (row, query) pair, O(|emb|·|Q|).
 
-    Pass ``dim`` when known (it usually is — embedding width is a pipeline
-    constant) to avoid the one-row probe job; the fallback probes the
-    *queries* side, which is small by contract, never the embeddings table.
+    ``dim`` (the embedding width) is required, like
+    :func:`with_lsh_bucket`'s: it is a pipeline constant by contract, and
+    deriving it from data would cost a driver job per call.
     """
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
     base = with_lsh_bucket(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")),
         "vec", dim, nbits, seed,
@@ -273,8 +277,14 @@ def lsh_cosine_topk(
         "qvec", dim, nbits, seed,
     ).withColumnRenamed("lsh_bucket", "qbucket")
     # all XOR masks with popcount <= probe_hamming: the multi-probe pattern
-    # is data-independent, so the expansion is a pure literal array
-    deltas = [x for x in range(1 << nbits) if bin(x).count("1") <= probe_hamming]
+    # is data-independent, so the expansion is a pure literal array —
+    # enumerated from bit combinations (O(C(nbits, <=h))), not a 2^nbits
+    # scan, so wide bucket codes stay cheap on the driver
+    deltas = [0] + [
+        sum(1 << b for b in bits)
+        for i in range(1, probe_hamming + 1)
+        for bits in itertools.combinations(range(nbits), i)
+    ]
     q_exp = q.withColumn("__delta", F.explode(F.array(*[F.lit(x) for x in deltas])))
     q_exp = q_exp.withColumn(
         "lsh_bucket", F.col("qbucket").bitwiseXOR(F.col("__delta")).cast("int")

@@ -108,7 +108,7 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     )
     queries = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10)
-    approx = lsh_cosine_topk(emb, queries, k=10, nbits=8, probe_hamming=3)
+    approx = lsh_cosine_topk(emb, queries, k=10, nbits=8, probe_hamming=3, dim=64)
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
