@@ -138,36 +138,35 @@ def martingale_partition_estimates(df, extractor, t: int = 2, d: int = 20, p: in
 
     The martingale estimator is order-dependent and NOT mergeable
     (MartingaleEstimator.java:32-35), so the correctly-scoped distributed
-    surface is *per input partition*: each task runs the sequential
-    insert+HIP loop over its own stream and emits
-    (partition_id, martingale_estimate, ml_estimate, n_values). Useful to
-    compare the two estimators on real partition streams; global counts
-    still come from the mergeable ML path.
+    surface is *per input partition*: each task feeds its own stream's
+    Arrow batches through the bounded-memory first-hit accumulator
+    (sketchlib.replay.StreamingFirstHits — O(m·K) state per task,
+    independent of stream length, replay-speed instead of the per-element
+    HIP loop) and emits (partition_id, martingale_estimate, ml_estimate,
+    n_values). Useful to compare the two estimators on real partition
+    streams; global counts still come from the mergeable ML path.
     """
     import pyarrow as pa
     from pyspark import TaskContext
 
-    from ..sketchlib.exaloglog import ExaLogLog
-    from ..sketchlib.martingale import MartingaleEstimator, add_hashes_martingale
+    from ..sketchlib.replay import StreamingFirstHits
 
     cols = list(extractor.input_cols)
 
     def run(batches):
-        sk = ExaLogLog.create(t, d, p)
-        est = MartingaleEstimator()
-        n = 0
+        acc = StreamingFirstHits(t, d, p)
         for batch in batches:
             values, _ = extractor(batch)
-            add_hashes_martingale(sk, values, est)
-            n += len(values)
+            acc.update(values)
+        mart_est, ml_est = acc.estimates()
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         yield pa.RecordBatch.from_pydict(
             {
                 "partition_id": pa.array([pid], type=pa.int64()),
-                "martingale_estimate": pa.array([est.distinct_count_estimate], type=pa.float64()),
-                "ml_estimate": pa.array([sk.estimate()], type=pa.float64()),
-                "n_values": pa.array([n], type=pa.int64()),
+                "martingale_estimate": pa.array([mart_est], type=pa.float64()),
+                "ml_estimate": pa.array([ml_est], type=pa.float64()),
+                "n_values": pa.array([acc.n], type=pa.int64()),
             }
         )
 

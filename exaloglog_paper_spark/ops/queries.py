@@ -1199,8 +1199,25 @@ def martingale_distinct_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFr
     df = tok.token_table_for_sf_dir(spark, sf_dir)
 
     def est_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Group-concatenation form: holds ONE group's token arrays in
+        # memory — small-group-only by contract. For unbounded streams use
+        # ops.functions.martingale_partition_estimates (bounded-memory
+        # per-partition StreamingFirstHits).
         pdf = pdf.sort_values("doc_id")  # deterministic stream order
-        flat = np.concatenate([np.asarray(a) for a in pdf["tokens"]])
+        arrays = [np.asarray(a) for a in pdf["tokens"]]
+        flat = (
+            np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+        )
+        if flat.size == 0:
+            # all-empty group: estimator and exact count agree at 0
+            return pd.DataFrame(
+                {
+                    "source": [pdf["source"].iloc[0]],
+                    "total_tokens": [0],
+                    "exact_distinct_tokens": [0],
+                    "martingale_within_bound": [True],
+                }
+            )
         # same value->hash mapping as the sketch pipeline (ops/agg.py)
         h = splitmix64(flat.astype(np.int64, copy=False).view(np.uint64))
         est = martingale_estimate_stream(h, t_, d_, p_)

@@ -234,6 +234,102 @@ def martingale_curve(
     return np.cumsum(inc, axis=1)
 
 
+class StreamingFirstHits:
+    """Bounded-memory incremental first-hit accumulator for ONE sequential
+    hash stream fed in chunks (e.g. the Arrow batches of a Spark
+    partition).
+
+    State is O(m·K) — the per-(register, update value) first-hit position
+    table — independent of stream length, so a partition-long stream's
+    martingale estimate never materializes the partition. Chunking is
+    invisible by construction: first-hit positions are a function of the
+    concatenated stream only (a pair already hit keeps its earlier
+    position), so ``estimate`` after any chunking equals
+    :func:`martingale_estimate_stream` on the whole array (pinned by
+    tests/test_replay chunk-vs-whole). The sequential semantics stay
+    per-stream exactly as the reference prescribes
+    (MartingaleEstimator.java javadoc: not for distributed merging) —
+    this class bounds MEMORY, it does not merge streams.
+    """
+
+    def __init__(self, t: int, d: int, p: int, luts=None):
+        if luts is None:
+            luts = _event_luts(t, d, p)
+        self.t, self.d, self.p = t, d, p
+        self.luts = luts
+        self.k_max = luts[0]
+        self.m = 1 << p
+        self.first = np.zeros(self.m * self.k_max, np.float64)
+        self._tmp = np.empty(self.m * self.k_max, np.float64)
+        self.n = 0
+
+    def update(self, hashes: np.ndarray) -> None:
+        h = as_u64(np.asarray(hashes))
+        if len(h) == 0:
+            return
+        idx, k = hash_to_idx_k(h, self.t, self.p)
+        key = idx.astype(np.int64) * self.k_max + (k.astype(np.int64) - 1)
+        # absolute 1-based position in the concatenated stream
+        pos = np.arange(self.n + 1, self.n + len(h) + 1, dtype=np.float64)
+        tmp = self._tmp
+        tmp.fill(0.0)
+        tmp[key[::-1]] = pos[::-1]  # last write wins -> first occurrence
+        new = (self.first == 0.0) & (tmp > 0.0)
+        self.first[new] = tmp[new]
+        self.n += len(h)
+
+    def _replay(self):
+        t, d, p = self.t, self.d, self.p
+        k_max, pw, om, _factor = self.luts
+        counts = np.where(self.first > 0, self.first, np.inf).reshape(
+            self.m, self.k_max
+        )
+        cs, u_traj, b_traj, dec = replay_first_hits(counts, t, d, p, self.luts)
+        flat_c = cs.ravel()
+        flat_d = dec.ravel()
+        o = np.argsort(flat_c, kind="stable")
+        gcnt = flat_c[o]
+        gdec = flat_d[o]
+        a_fin = _a_scaled(u_traj[:, -1].astype(np.int64), b_traj[:, -1], pw, om, d)
+        a_sum = a_fin.sum(dtype=np.uint64)
+        mart = martingale_curve(
+            gcnt[None, :], gdec[None, :], np.array([a_sum], np.uint64)
+        )[0]
+        j = int(np.searchsorted(gcnt, float(self.n), side="right")) - 1
+        mart_est = float(mart[j]) if j >= 0 else 0.0
+        # register state at prefix n — the trajectory's LAST column also
+        # contains phantom (count=+inf, never-hit) events, which are
+        # harmless for the martingale tail sums but would saturate the
+        # register image; take each register's last REAL event instead
+        jj = (cs <= float(self.n)).sum(axis=1) - 1
+        jc = np.clip(jj, 0, cs.shape[1] - 1)
+        ridx = np.arange(cs.shape[0])
+        regs = np.where(
+            jj < 0,
+            np.uint64(0),
+            (u_traj[ridx, jc].astype(np.uint64) << U64(self.d))
+            | b_traj[ridx, jc],
+        )
+        return mart_est, regs
+
+    def martingale_estimate(self) -> float:
+        if self.n == 0:
+            return 0.0
+        return self._replay()[0]
+
+    def estimates(self) -> tuple[float, float]:
+        """(martingale HIP estimate, ML estimate) of the stream so far."""
+        from .exaloglog import contribute_vec_batch, estimate_from_coefficients
+
+        t, d, p = self.t, self.d, self.p
+        if self.n == 0:
+            return 0.0, 0.0
+        mart_est, regs = self._replay()
+        agg, bhist = contribute_vec_batch(regs[None, :], t, d, p)
+        ml_est = float(estimate_from_coefficients(agg, bhist, t, d, p)[0])
+        return mart_est, ml_est
+
+
 def martingale_estimate_stream(
     hashes: np.ndarray, t: int, d: int, p: int, luts=None
 ) -> float:
@@ -244,28 +340,11 @@ def martingale_estimate_stream(
 
     Order-dependent by definition — per-partition / per-group streams only,
     exactly as the reference prescribes for its martingale estimator
-    (MartingaleEstimator.java javadoc: not for distributed merging).
+    (MartingaleEstimator.java javadoc: not for distributed merging). For
+    streams too large to hold in one array, feed chunks through
+    :class:`StreamingFirstHits` instead — identical result by
+    construction.
     """
-    if luts is None:
-        luts = _event_luts(t, d, p)
-    k_max, pw, om, _factor = luts
-    m = 1 << p
-    h = as_u64(np.asarray(hashes))
-    n = len(h)
-    idx, k = hash_to_idx_k(h, t, p)
-    key = idx.astype(np.int64) * k_max + (k.astype(np.int64) - 1)
-    first = np.zeros(m * k_max, np.float64)
-    pos = np.arange(1, n + 1, dtype=np.float64)
-    first[key[::-1]] = pos[::-1]  # last write wins -> first occurrence
-    counts = np.where(first > 0, first, np.inf).reshape(m, k_max)
-    cs, u_traj, b_traj, dec = replay_first_hits(counts, t, d, p, luts)
-    flat_c = cs.ravel()
-    flat_d = dec.ravel()
-    o = np.argsort(flat_c, kind="stable")
-    gcnt = flat_c[o]
-    gdec = flat_d[o]
-    a_fin = _a_scaled(u_traj[:, -1].astype(np.int64), b_traj[:, -1], pw, om, d)
-    a_sum = a_fin.sum(dtype=np.uint64)
-    mart = martingale_curve(gcnt[None, :], gdec[None, :], np.array([a_sum], np.uint64))[0]
-    j = int(np.searchsorted(gcnt, float(n), side="right")) - 1
-    return float(mart[j]) if j >= 0 else 0.0
+    acc = StreamingFirstHits(t, d, p, luts)
+    acc.update(hashes)
+    return acc.martingale_estimate()

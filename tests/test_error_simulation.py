@@ -492,6 +492,44 @@ def test_martingale_estimate_stream_matches_sequential_with_duplicates():
         assert got == pytest.approx(seq.distinct_count_estimate, rel=1e-9), n
 
 
+def test_streaming_first_hits_chunked_equals_whole_stream():
+    """StreamingFirstHits fed arbitrary chunkings (including empty chunks)
+    must reproduce martingale_estimate_stream on the concatenated array
+    EXACTLY, and its ML estimate must equal the sketch built by add() over
+    the same stream — the bounded-memory per-partition contract
+    (ops.functions.martingale_partition_estimates)."""
+    from exaloglog_paper_spark.sketchlib.replay import (
+        StreamingFirstHits,
+        martingale_estimate_stream,
+    )
+
+    rng = np.random.default_rng(11)
+    for t, d, p in [(2, 20, 8), (1, 9, 4), (2, 16, 10)]:
+        n, n_distinct = 30_000, 5_000
+        values = rng.integers(0, n_distinct, size=n).astype(np.uint64)
+        h = splitmix64_stream(0xFEED + p, n_distinct)[values]
+        whole = martingale_estimate_stream(h, t, d, p)
+        for chunks in (
+            [n],
+            [1, 0, 9_999, 1, 20_000 - 1],
+            [100] * 300,
+        ):
+            acc = StreamingFirstHits(t, d, p)
+            lo = 0
+            for c in chunks:
+                acc.update(h[lo : lo + c])
+                lo += c
+            assert lo == n and acc.n == n
+            mart, ml = acc.estimates()
+            assert mart == whole, (t, d, p, chunks[:3])
+        sk = ExaLogLog.create(t, d, p)
+        sk.add_hashes(h)
+        assert ml == pytest.approx(sk.estimate(), rel=1e-9), (t, d, p)
+    # empty stream
+    acc = StreamingFirstHits(2, 20, 8)
+    assert acc.estimates() == (0.0, 0.0)
+
+
 def test_reference_token_ladder_matches_published():
     from exaloglog_paper_spark.experiments.error_simulation import (
         reference_token_ladder,
