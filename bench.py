@@ -36,6 +36,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def calibrate_ns_per_element(n: int = 2_000_000, reps: int = 5) -> float:
+    """Single-thread insert kernel (the microbench's 2M-element
+    ExaLogLog(2,20,8) add_hashes, best-of-N) as a box-speed probe.
+
+    The box is shared with co-tenants and hypervisor-throttled under
+    sustained load (BENCH_r04 recorded 26 s for a suite that measures
+    ~20 s on a quiet box). Running this CPU-bound, IO-free, Spark-free
+    kernel before AND after the suite stamps the run with the machine
+    speed it actually got: a healthy run reports ~14-16 ns/element
+    (BENCH/BASELINE.md); a throttled one is self-identifying instead of
+    silently recording an outlier suite time."""
+    import time as _time
+
+    from exaloglog_paper_spark.sketchlib.bitops import splitmix64_stream
+    from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLog
+
+    hashes = splitmix64_stream(1, n)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        ExaLogLog.create(2, 20, 8).add_hashes(hashes)
+        best = min(best, _time.perf_counter() - t0)
+    return round(best / n * 1e9, 1)
+
+
 def materialize_token_table(spark, sf_name: str):
     # 4 splits per core so the pyarrow scan load-balances across stragglers
     path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
@@ -49,6 +74,7 @@ def materialize_token_table(spark, sf_name: str):
 
 def main() -> None:
     sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    calib_before = calibrate_ns_per_element()
     spark = get_spark(app_name=f"bench-{sf_name}", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     tdf = materialize_token_table(spark, sf_name)
@@ -192,6 +218,16 @@ def main() -> None:
     timed_min("text_quality_by_source", q_textq)
 
     total = round(sum(timings.values()), 3)
+    calib_after = calibrate_ns_per_element()
+    # BENCH/BASELINE.md quotes ~14.5 ns/element on a quiet box; a run whose
+    # calibration kernel is >1.3x that, or degrades >1.3x across the suite,
+    # ran on a throttled/contended box and its suite time under-reports the
+    # engine (BENCH_r04's 26 s vs the re-measured 19.7 s).
+    healthy_ns = 16.0
+    throttled = (
+        max(calib_before, calib_after) > 1.3 * healthy_ns
+        or max(calib_before, calib_after) > 1.3 * min(calib_before, calib_after)
+    )
     print(
         json.dumps(
             {
@@ -202,6 +238,12 @@ def main() -> None:
                 "query_spreads": spreads,
                 "sf": sf_name,
                 "cpus": CPUS,
+                "calibration_ns_per_element": {
+                    "before": calib_before,
+                    "after": calib_after,
+                    "healthy_reference": healthy_ns,
+                },
+                "throttled_box": throttled,
                 **extras,
             }
         )
