@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words_global_bound": Q.hll_distinct_words_global_bound,
         "ell_distinct_tokens_per_source": Q.ell_distinct_tokens_per_source,
         "martingale_distinct_tokens_bound": Q.martingale_distinct_tokens_bound,
+        "martingale_partition_stream_bound": Q.martingale_partition_stream_bound,
         "token_passthrough_invariant": Q.token_passthrough_invariant,
         "salted_vs_mapside_consistency": Q.salted_vs_mapside_consistency,
         "sketch_rollup_tokens": Q.sketch_rollup_tokens,
@@ -310,6 +311,26 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS martingale_within_bound
             FROM tot JOIN ex USING (source)
             ORDER BY source
+        """,
+        "martingale_partition_stream_bound": f"""
+            WITH tt AS (
+                SELECT *,
+                       ((strpos('0123456789abcdef', substr(md5(doc_id), 1, 1))
+                         - 1) % 8)::INTEGER AS bucket
+                FROM read_parquet('{TOKENS_PQ}')
+            ),
+            ex AS (
+                SELECT bucket, count(DISTINCT t) AS exact_distinct_tokens
+                FROM (SELECT bucket, unnest(tokens) AS t FROM tt) GROUP BY bucket
+            ),
+            tot AS (
+                SELECT bucket, sum(n_tok)::BIGINT AS total_tokens
+                FROM tt GROUP BY bucket
+            )
+            SELECT tot.bucket AS bucket, total_tokens, exact_distinct_tokens,
+                   TRUE AS martingale_within_bound
+            FROM tot JOIN ex USING (bucket)
+            ORDER BY bucket
         """,
         "sketch_rollup_tokens": f"""
             WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),

@@ -1240,3 +1240,106 @@ def martingale_distinct_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+def martingale_partition_stream_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket martingale (HIP) estimates through the BOUNDED-MEMORY
+    per-partition path — the scale form of
+    :func:`martingale_distinct_tokens_bound`'s group concatenation.
+
+    The token table is repartitioned on an md5-derived bucket (first hex
+    nibble of md5(doc_id) mod 8 — engine-portable, the DuckDB oracle
+    recomputes the identical split), sorted (bucket, doc_id) within
+    partitions for a deterministic stream order, and each task feeds its
+    Arrow batches chunk-by-chunk through one
+    sketchlib.replay.StreamingFirstHits accumulator per bucket: task state
+    is O(buckets_in_task · m·K), NEVER the partition's tokens, so the
+    operator survives arbitrarily long streams. Hash partitioning sends
+    every bucket to exactly one task, so the per-bucket estimates are
+    partition-layout independent. The martingale stays strictly sequential
+    per stream, exactly as the reference prescribes
+    (MartingaleEstimator.java:32-35: not for distributed merging).
+
+    ``martingale_within_bound`` asserts |est/exact - 1| <= 5*RSE_mart, the
+    published martingale RSE for (2,20,8)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sketchlib.constants import theoretical_rse_martingale
+    from ..sketchlib.replay import StreamingFirstHits, _event_luts
+    from .agg import token_array_values
+
+    t_, d_, p_ = 2, 20, 8
+    n_buckets = 8
+    bound = 5 * theoretical_rse_martingale(t_, d_, p_)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 1), 16, 10).cast("int"),
+        F.lit(n_buckets),
+    ).cast("int")
+    tb = df.withColumn("bucket", bucket)
+    extractor = token_array_values("tokens")
+
+    def run(batches):
+        luts = _event_luts(t_, d_, p_)
+        accs: dict[int, StreamingFirstHits] = {}
+        for batch in batches:
+            values, lengths = extractor(batch)
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            if len(buckets) == 0:
+                continue
+            tok_off = np.r_[0, np.cumsum(lengths)]
+            change = np.flatnonzero(np.diff(buckets)) + 1
+            starts = np.r_[0, change]
+            ends = np.r_[change, len(buckets)]
+            for s, e in zip(starts, ends):
+                b = int(buckets[s])
+                acc = accs.get(b)
+                if acc is None:
+                    acc = accs[b] = StreamingFirstHits(t_, d_, p_, luts)
+                acc.update(values[tok_off[s] : tok_off[e]])
+        if accs:
+            bs = sorted(accs)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "bucket": pa.array(bs, type=pa.int32()),
+                    "total_tokens": pa.array(
+                        [accs[b].n for b in bs], type=pa.int64()
+                    ),
+                    "martingale_estimate": pa.array(
+                        [accs[b].martingale_estimate() for b in bs],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+
+    est = (
+        tb.select("bucket", "doc_id", "tokens")
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("bucket", "doc_id")
+        .mapInArrow(
+            run, "bucket int, total_tokens long, martingale_estimate double"
+        )
+    )
+    exact = (
+        tb.select("bucket", F.explode("tokens").alias("t"))
+        .groupBy("bucket")
+        .agg(F.count_distinct("t").alias("exact_distinct_tokens"))
+    )
+    return (
+        est.join(exact, "bucket")
+        .select(
+            "bucket",
+            "total_tokens",
+            "exact_distinct_tokens",
+            (
+                F.abs(
+                    F.col("martingale_estimate") / F.col("exact_distinct_tokens")
+                    - 1.0
+                )
+                <= bound
+            ).alias("martingale_within_bound"),
+        )
+        .orderBy("bucket")
+    )

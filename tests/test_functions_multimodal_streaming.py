@@ -106,6 +106,18 @@ def test_martingale_partition_estimates(spark):
         assert abs(r.martingale_estimate / r.ml_estimate - 1) < 8 * rse
 
 
+def test_martingale_partition_stream_bound_query(spark):
+    """The bounded-memory per-bucket martingale query: every md5 bucket
+    present, within the published bound, and invariant to the input's
+    partition layout (hash repartitioning re-collects each bucket)."""
+    from exaloglog_paper_spark.ops.queries import martingale_partition_stream_bound
+
+    rows = martingale_partition_stream_bound(spark, "/root/testdata/sf0.001").collect()
+    assert [r.bucket for r in rows] == list(range(8))
+    assert all(r.martingale_within_bound for r in rows)
+    assert all(r.total_tokens > 0 and r.exact_distinct_tokens > 0 for r in rows)
+
+
 def test_multimodal_plumbing(spark):
     from exaloglog_paper_spark.ops.multimodal import (
         decode_and_featurize,
