@@ -18,7 +18,12 @@ def get_spark(
     app_name: str = "exaloglog-paper-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    scheduler_mode: str | None = None,
 ) -> SparkSession:
+    """``scheduler_mode="FAIR"`` lets concurrent jobs submitted from
+    multiple driver threads share executor slots round-robin (per-thread
+    pools) instead of FIFO head-of-line blocking — used by the error-sim
+    grid's --jobs fan-out. Only honored at session creation."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -27,6 +32,11 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config(
+            "spark.scheduler.mode",
+            scheduler_mode
+            or os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")

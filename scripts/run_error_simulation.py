@@ -41,15 +41,15 @@ GRID = [
 HEADLINE = (2, 20, 8)
 
 
-def run_config(spark, t, d, p, cycles, exact_limit, ladder):
+def run_config(spark, t, d, p, cycles, exact_limit, ladder, outdir="artifacts"):
     t0 = time.time()
     partials = simulate_errors_full(
         spark, t, d, p,
         num_cycles=cycles, ladder=ladder, seed=42, exact_limit=exact_limit,
     )
     pdf = full_error_summary(partials, t, d, p).toPandas()
-    os.makedirs("artifacts", exist_ok=True)
-    out = f"artifacts/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
+    os.makedirs(outdir, exist_ok=True)
+    out = f"{outdir}/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
     write_full_csv(pdf, out, t, d, p, num_cycles=cycles, exact_limit=exact_limit)
     print(
         f"wrote {out}: {len(pdf)} rungs, {cycles} cycles, "
@@ -74,10 +74,22 @@ def main() -> None:
     ap.add_argument("--skip-current", action="store_true",
                     help="skip configs whose artifact already records the "
                          "target num_cycles (resumable grid runs)")
+    ap.add_argument("--outdir", type=str, default="artifacts",
+                    help="artifact output directory")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="configs to run CONCURRENTLY through one "
+                         "SparkSession (Spark schedules multiple jobs from "
+                         "multiple driver threads; a config's driver-side "
+                         "tail — summary toPandas + CSV write — overlaps "
+                         "the next config's executor work instead of "
+                         "leaving the box idle)")
     args = ap.parse_args()
 
     ladder = reference_ladder(args.max_n)
-    spark = get_spark(app_name="error-sim")
+    spark = get_spark(
+        app_name="error-sim",
+        scheduler_mode="FAIR" if args.jobs > 1 else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if args.grid or args.configs:
         grid = GRID
@@ -88,22 +100,43 @@ def main() -> None:
             ]
         # cheapest first (cost ~ 2^p), so a budget-truncated run still
         # lands the most configs
+        todo = []
         for (t, d, p) in sorted(grid, key=lambda c: (c[2], c[0], c[1])):
             cycles = (
                 args.headline_cycles if (t, d, p) == HEADLINE else args.cycles
             )
             if args.skip_current:
-                out = f"artifacts/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
+                out = f"{args.outdir}/estimation-error-t{t:02d}-d{d:02d}-p{p:02d}.csv"
                 if os.path.exists(out):
                     with open(out) as f:
                         head = f.readline()
                     if f"num_cycles={cycles};" in head or f"num_cycles={cycles}\n" in head:
                         print(f"skip {out}: already at {cycles} cycles", flush=True)
                         continue
-            run_config(spark, t, d, p, cycles, args.exact_limit, ladder)
+            todo.append((t, d, p, cycles))
+        if args.jobs <= 1:
+            for (t, d, p, cycles) in todo:
+                run_config(spark, t, d, p, cycles, args.exact_limit, ladder,
+                           outdir=args.outdir)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(cfg):
+                t, d, p, cycles = cfg
+                # per-thread FAIR pool so concurrent configs share executor
+                # slots instead of FIFO head-of-line blocking
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"errsim-{t}-{d}-{p}"
+                )
+                return run_config(spark, t, d, p, cycles, args.exact_limit,
+                                  ladder, outdir=args.outdir)
+
+            with ThreadPoolExecutor(max_workers=args.jobs) as ex:
+                list(ex.map(one, todo))
     else:
         pdf = run_config(
-            spark, args.t, args.d, args.p, args.cycles, args.exact_limit, ladder
+            spark, args.t, args.d, args.p, args.cycles, args.exact_limit,
+            ladder, outdir=args.outdir,
         )
         print(pdf.head(20).to_string(index=False))
     spark.stop()
