@@ -22,9 +22,11 @@ RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+from bench import calibrate_ns_per_element
 from exaloglog_paper_spark.session import get_spark
 from exaloglog_paper_spark.ops.agg import ExaLogLogSpec, token_array_values, with_estimate
 from exaloglog_paper_spark.ops.source import scan_sketch_agg
+calib_before = calibrate_ns_per_element()
 spark = get_spark(app_name="scaling-{cpus}", shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
 path = {path!r}
@@ -39,7 +41,7 @@ for _ in range({reps}):
     dt = time.monotonic() - t0
     n_tokens = row.n_values
     times.append(dt)
-print("RESULT " + json.dumps({{"cpus": {cpus}, "seconds": min(times), "times": times, "tokens": n_tokens}}))
+print("RESULT " + json.dumps({{"cpus": {cpus}, "seconds": min(times), "times": times, "tokens": n_tokens, "calib_ns": [calib_before, calibrate_ns_per_element()]}}))
 spark.stop()
 """
 
@@ -109,6 +111,7 @@ def main() -> None:
                 "seconds": round(r["seconds"], 3),
                 "spread": [round(min(r["times"]), 3), round(max(r["times"]), 3)],
                 "tokens_per_sec": round(r["tokens"] / r["seconds"], 1),
+                "calibration_ns_per_element": r.get("calib_ns"),
             }
             for r in results
         ],
@@ -124,7 +127,7 @@ def _update_bench_md(report: dict) -> None:
     md = os.path.join(REPO, "BENCH", "SCALING.md")
     rows = "\n".join(
         f"| local[{r['cpus']}] | {r['seconds']} s | [{r['spread'][0]}, {r['spread'][1]}] s "
-        f"| {r['tokens_per_sec']:,.0f} tokens/s |"
+        f"| {r['tokens_per_sec']:,.0f} tokens/s | {r.get('calibration_ns_per_element')} |"
         for r in report["levels"]
     )
     pair_lines = "\n".join(
@@ -140,10 +143,13 @@ Headline job: global ExaLogLog(2,20,10) distinct-token sketch build over the
 vectorized partial sketches -> tree merge -> ML estimate), identical input at
 each parallelism level (sandbox proxy for the north rule's N -> 4N executor
 criterion, measured at BOTH quadruplings 2->8 and 8->32; min of repeated
-runs to damp co-tenant noise, per-level [min, max] spread disclosed).
+runs to damp co-tenant noise, per-level [min, max] spread disclosed). The
+calibration column is the single-thread 2M-element insert kernel measured
+before/after each level (bench.py's throttle gate, ~14.5 ns/element on a
+quiet box): it separates hypervisor throttling from plan behavior.
 
-| parallelism | wall time (min of reps) | spread | throughput |
-|---|---|---|---|
+| parallelism | wall time (min of reps) | spread | throughput | calib ns/el [pre, post] |
+|---|---|---|---|---|
 {rows}
 
 {pair_lines}
