@@ -530,6 +530,38 @@ def test_streaming_first_hits_chunked_equals_whole_stream():
     assert acc.estimates() == (0.0, 0.0)
 
 
+def test_streaming_first_hits_random_chunkings_property():
+    """Hypothesis: ANY chunking of a duplicate-heavy stream — including
+    empty and single-element chunks — leaves the accumulated first-hit
+    table, count, and both estimates identical to the unchunked replay."""
+    from hypothesis import given, settings, strategies as st
+
+    from exaloglog_paper_spark.sketchlib.replay import StreamingFirstHits
+
+    t, d, p = 2, 16, 6
+    n, n_distinct = 4_000, 800
+    rng = np.random.default_rng(23)
+    values = rng.integers(0, n_distinct, size=n).astype(np.uint64)
+    h = splitmix64_stream(0xB00, n_distinct)[values]
+    ref = StreamingFirstHits(t, d, p)
+    ref.update(h)
+    ref_first = ref.first.copy()
+    ref_est = ref.estimates()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=n), min_size=0, max_size=12))
+    def check(cuts):
+        bounds = sorted(set([0, n] + cuts))
+        acc = StreamingFirstHits(t, d, p)
+        for lo, hi in zip(bounds, bounds[1:]):
+            acc.update(h[lo:hi])
+        assert acc.n == n
+        assert np.array_equal(acc.first, ref_first)
+        assert acc.estimates() == ref_est
+
+    check()
+
+
 def test_reference_token_ladder_matches_published():
     from exaloglog_paper_spark.experiments.error_simulation import (
         reference_token_ladder,
