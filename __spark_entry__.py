@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_batch_parity": Q.streaming_batch_parity,
         "checkpoint_resume_invariant": Q.checkpoint_resume_invariant,
         "incremental_update_invariant": Q.incremental_update_invariant,
+        "snapshot_time_travel_invariant": Q.snapshot_time_travel_invariant,
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
@@ -660,6 +661,14 @@ def oracle_sql() -> dict[str, str]:
         "incremental_update_invariant": f"""
             SELECT source, sum(n_tok)::BIGINT AS total_tokens,
                    TRUE AS incremental_byte_identical
+            FROM read_parquet('{TOKENS_PQ}')
+            GROUP BY source
+        """,
+        "snapshot_time_travel_invariant": f"""
+            SELECT source, sum(n_tok)::BIGINT AS total_tokens,
+                   TRUE AS final_byte_identical,
+                   TRUE AS time_travel_byte_identical,
+                   TRUE AS lineage_totals_ok
             FROM read_parquet('{TOKENS_PQ}')
             GROUP BY source
         """,

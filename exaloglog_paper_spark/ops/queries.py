@@ -922,6 +922,88 @@ def incremental_update_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_time_travel_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-committed sketch table (Iceberg semantics on plain files,
+    ops/snapshot_table.py): two increments committed as snapshots must
+    (a) end byte-identical to a one-shot build over the full table,
+    (b) time-travel — reading snapshot 1 after BOTH commits must be
+    byte-identical to a one-shot build over increment 1 alone (immutable
+    manifests), and (c) carry honest lineage — the final snapshot's
+    recorded total_values equals the table's exact token volume. The
+    oracle recomputes per-source volumes from the parquet twin and
+    asserts all three flags."""
+    import shutil
+    import tempfile
+
+    from .agg import sketch_agg, token_array_values
+    from .snapshot_table import (
+        read_snapshot_table,
+        snapshot_history,
+        update_snapshot_table,
+    )
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    path = tok.materialize_token_table(_sf_name(sf_dir))
+    tdf = spark.read.parquet(path)
+    halves = [
+        tdf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    tdir = tempfile.mkdtemp(prefix="ellsnap_")
+    try:
+        for i, h in enumerate(halves):
+            update_snapshot_table(
+                spark,
+                tdir,
+                sketch_agg(h, spec, token_array_values("tokens"), by=["source"]),
+                spec,
+                by=["source"],
+                lineage={"increment": f"half-{i}"},
+            )
+        final = {
+            r.source: (bytes(r.sketch), int(r.n_values))
+            for r in read_snapshot_table(spark, tdir).collect()
+        }
+        snap1 = {
+            r.source: (bytes(r.sketch), int(r.n_values))
+            for r in read_snapshot_table(spark, tdir, snapshot_id=1).collect()
+        }
+        hist = snapshot_history(tdir)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    full = {
+        r.source: (bytes(r.sketch), int(r.n_values))
+        for r in sketch_agg(
+            tdf, spec, token_array_values("tokens"), by=["source"]
+        ).collect()
+    }
+    half0 = {
+        r.source: (bytes(r.sketch), int(r.n_values))
+        for r in sketch_agg(
+            halves[0], spec, token_array_values("tokens"), by=["source"]
+        ).collect()
+    }
+    lineage_ok = bool(
+        hist[-1]["summary"]["total_values"] == sum(n for _, n in full.values())
+        and hist[0]["summary"]["total_values"] == sum(n for _, n in half0.values())
+        and [s["lineage"]["increment"] for s in hist] == ["half-0", "half-1"]
+    )
+    rows = [
+        (
+            src,
+            n,
+            bool(final.get(src) == (state, n)),
+            bool(snap1.get(src) == half0.get(src)),
+            lineage_ok,
+        )
+        for src, (state, n) in sorted(full.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "source string, total_tokens long, final_byte_identical boolean, "
+        "time_travel_byte_identical boolean, lineage_totals_ok boolean",
+    )
+
+
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated text-quality features per source (exact; oracle-checked).
 

@@ -19,6 +19,12 @@ Usage (daily pipeline shape):
 
 Each run prints the post-update per-group estimates. ``--estimate-only``
 reads the latest version without updating.
+
+``--layout snapshot`` stores the table with Iceberg-style snapshot commits
+instead of ``v=N`` dirs (ops/snapshot_table.py): atomic version-hint swap,
+per-commit lineage metrics, time travel via ``--snapshot-id K``, and
+expiry via ``--expire-keep N``. Same merge algebra, same byte-identity
+guarantees.
 """
 
 from __future__ import annotations
@@ -39,11 +45,31 @@ def main() -> None:
     ap.add_argument("--p", type=int, default=10)
     ap.add_argument("--estimate-only", action="store_true")
     ap.add_argument(
+        "--layout",
+        default="versioned",
+        choices=["versioned", "snapshot"],
+        help="versioned: v=N dirs (ops/sketch_table); snapshot: Iceberg-style "
+        "atomic snapshot commits with lineage + time travel (ops/snapshot_table)",
+    )
+    ap.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="with --layout snapshot --estimate-only: time-travel read of "
+        "this snapshot",
+    )
+    ap.add_argument(
+        "--lineage",
+        default="",
+        help="with --layout snapshot: free-form increment label recorded in "
+        "the snapshot history (e.g. the batch date)",
+    )
+    ap.add_argument(
         "--prune-keep",
         type=int,
         default=0,
-        help="after a successful update, keep only the newest N versions "
-        "(0 = never prune)",
+        help="after a successful update, keep only the newest N versions/"
+        "snapshots (0 = never prune)",
     )
     args = ap.parse_args()
     by = [c for c in args.by.split(",") if c]
@@ -54,16 +80,20 @@ def main() -> None:
         token_array_values,
         with_estimate,
     )
-    from exaloglog_paper_spark.ops.sketch_table import (
-        read_sketch_table,
-        update_sketch_table,
-    )
     from exaloglog_paper_spark.ops.source import read_tokens
 
     spark = SparkSession.builder.appName("incremental-distinct").getOrCreate()
     spec = ExaLogLogSpec(args.t, args.d, args.p)
+    snapshot = args.layout == "snapshot"
     if args.estimate_only:
-        table = read_sketch_table(spark, args.table)
+        if snapshot:
+            from exaloglog_paper_spark.ops.snapshot_table import read_snapshot_table
+
+            table = read_snapshot_table(spark, args.table, snapshot_id=args.snapshot_id)
+        else:
+            from exaloglog_paper_spark.ops.sketch_table import read_sketch_table
+
+            table = read_sketch_table(spark, args.table)
     else:
         if not args.add:
             raise SystemExit("--add is required unless --estimate-only")
@@ -73,13 +103,36 @@ def main() -> None:
             token_array_values("tokens"),
             by=by,
         )
-        table = update_sketch_table(spark, args.table, inc, spec, by=by)
-        if args.prune_keep > 0:
-            from exaloglog_paper_spark.ops.sketch_table import prune_versions
+        if snapshot:
+            from exaloglog_paper_spark.ops.snapshot_table import (
+                expire_snapshots,
+                snapshot_history,
+                update_snapshot_table,
+            )
 
-            pruned = prune_versions(args.table, keep=args.prune_keep)
-            if pruned:
-                print(f"pruned versions: {pruned}")
+            lineage = {"increment": args.lineage or args.add}
+            table = update_snapshot_table(
+                spark, args.table, inc, spec, by=by, lineage=lineage
+            )
+            s = snapshot_history(args.table)[-1]
+            print(
+                f"committed snapshot {s['id']} (parent {s['parent_id']}): "
+                f"{s['summary']} lineage={s['lineage']}"
+            )
+            if args.prune_keep > 0:
+                expired = expire_snapshots(args.table, keep=args.prune_keep)
+                if expired:
+                    print(f"expired snapshots: {expired}")
+        else:
+            from exaloglog_paper_spark.ops.sketch_table import update_sketch_table
+
+            table = update_sketch_table(spark, args.table, inc, spec, by=by)
+            if args.prune_keep > 0:
+                from exaloglog_paper_spark.ops.sketch_table import prune_versions
+
+                pruned = prune_versions(args.table, keep=args.prune_keep)
+                if pruned:
+                    print(f"pruned versions: {pruned}")
     # group columns come from the table itself, so --estimate-only needs no --by
     out_cols = [c for c in table.columns if c not in ("sketch", "build_secs")]
     with_estimate(table, spec).select(*out_cols, "estimate").show(50, truncate=False)
