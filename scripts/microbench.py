@@ -60,6 +60,18 @@ def main() -> None:
     a = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(2, 100_000))
     b = ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(3, 100_000))
     out["merge_us"] = round(best_of(lambda: a.copy().merge_(b), reps=200) * 1e6, 1)
+    # batched k-way merge (the shape tree-merge reducers + driver folds
+    # actually run via spec.merge_many): amortized per-pair cost
+    spec_mm = ExaLogLogSpec(t, d, p)
+    many = [
+        ExaLogLog.create(t, d, p).add_hashes(splitmix64_stream(100 + i, 20_000))
+        for i in range(64)
+    ]
+    # merge_many rebinds states[0].regs only, so copy just that one
+    out["merge_many_us_per_pair"] = round(
+        best_of(lambda: spec_mm.merge_many([many[0].copy()] + many[1:]), reps=50)
+        / (len(many) - 1) * 1e6, 1,
+    )
     out["estimate_us"] = round(best_of(lambda: a.estimate(), reps=200) * 1e6, 1)
     # combined op, mirroring the reference's MergeAndEstimationTest.java:74-84
     # JMH op (published 9.41 us for ELL(2,20,8)): fresh merged sketch (copy,

@@ -268,6 +268,48 @@ def test_merge_associative_commutative_tree_vs_sequential():
     assert np.array_equal(level[0].regs, full.regs)
 
 
+@pytest.mark.parametrize("k", [0, 1, 2, 3, 7, 64])
+def test_merge_many_equals_sequential_fold(k):
+    """The batched k-way merge (stacked registers, log2 tree of vectorized
+    calls) must be byte-identical to the sequential pairwise fold for any
+    k — incl. the empty (identity) and singleton cases — for both the
+    dense spec and sparse/dense mixtures of the hybrid spec."""
+    from exaloglog_paper_spark.ops.agg import ExaLogLogSpec, SparseExaLogLogSpec
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    hashes = splitmix64_stream(19, max(1, 150 * k))
+    parts = np.array_split(hashes, k) if k else []
+    states = [spec.empty().add_hashes(p) for p in parts]
+    seq = spec.empty()
+    for s in states:
+        seq = spec.merge(seq, s.copy())
+    got = spec.merge_many([s.copy() for s in states])
+    assert np.array_equal(got.regs, seq.regs)
+
+    if k >= 2:
+        # hybrid spec: mixtures of sparse token arrays and dense states,
+        # batched union+stack vs sequential union1d/densify fold
+        sp = SparseExaLogLogSpec(2, 20, 8, max_sparse=100)
+        members = [
+            sp.add(sp.empty(), p[: 40 + 30 * (i % 3)]) for i, p in enumerate(parts)
+        ]
+        members[0] = sp.add(sp.empty(), splitmix64_stream(23, 500))  # dense
+        assert isinstance(members[0], ExaLogLog)
+        blobs = [sp.serialize(s) for s in members]  # immutable snapshots
+        seq2 = sp.deserialize(blobs[0])
+        for b in blobs[1:]:
+            seq2 = sp.merge(seq2, sp.deserialize(b))
+        got2 = sp.merge_many(sp.deserialize(b) for b in blobs)
+        assert sp.serialize(got2) == sp.serialize(seq2)
+        # all-sparse: stays sparse below the cap, identical union
+        small = [sp.serialize(sp.add(sp.empty(), p[:20])) for p in parts]
+        seq3 = sp.deserialize(small[0])
+        for b in small[1:]:
+            seq3 = sp.merge(seq3, sp.deserialize(b))
+        got3 = sp.merge_many(sp.deserialize(b) for b in small)
+        assert sp.serialize(got3) == sp.serialize(seq3)
+
+
 def test_merge_heterogeneous_params_equals_downsized_union():
     """Merging sketches with different (d, p) yields the min-(d,p) union state
     (≙ ExaLogLogTest.java:110-147)."""
