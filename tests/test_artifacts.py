@@ -73,10 +73,9 @@ def test_sketch_artifact_reference_parity(path):
     assert (int(meta["t"]), int(meta["d"]), int(meta["p"])) == (t, d, p)
     assert int(meta["large_scale_simulation_mode_distinct_count_limit"]) == 1_000_000
     cycles = int(meta["num_cycles"])
-    if (t, d, p) == _HEADLINE:
-        assert cycles == 100_000  # the reference's own fidelity
-    else:
-        assert cycles >= 10_000
+    # full grid at the reference's own fidelity
+    # (ExaLogLogEstimationErrorSimulation.java:84-87)
+    assert cycles == 100_000
     assert header.split("; ")[0] == "distinct count"
     assert a.shape == (961, _SKETCH_COLS)
 
@@ -190,7 +189,7 @@ def test_token_artifact_reference_parity(v):
     mkv = dict(kv.split("=") for kv in meta.split("; "))
     assert int(mkv["token_parameter"]) == v
     cycles = int(mkv["num_cycles"])
-    assert cycles >= 50_000  # reference fidelity: 100k
+    assert cycles == 100_000  # reference fidelity
     assert np.array_equal(rows[:, 0], np.asarray(reference_token_ladder()))
 
     pub_bias, pub_rmse = _TOKEN_PUB_1E5[v]
