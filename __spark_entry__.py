@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": Q.text_quality_by_source,
         "lang_id_confusion": Q.lang_id_confusion,
         "doc_fingerprints": Q.doc_fingerprints,
+        "source_overlap_matrix_bound": Q.source_overlap_matrix_bound,
+        "contamination_ngram_overlap": Q.contamination_ngram_overlap,
+        "stable_sample_digest": Q.stable_sample_digest,
     }
 
 
@@ -748,6 +751,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keeper
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        # pairwise distinct-word overlap: exact intersection counts per
+        # source pair; the sketch side's within_bound asserts TRUE like the
+        # other *_bound queries. The full S x S grid (including zero-overlap
+        # pairs) comes from the source cross join, mirroring the engine's
+        # driver-built pair list.
+        "source_overlap_matrix_bound": """
+            WITH dw AS (
+                SELECT DISTINCT source, w AS word FROM (
+                    SELECT source,
+                           unnest(list_filter(
+                               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS w
+                    FROM documents
+                )
+            ),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            grid AS (
+                SELECT a.source AS s1, b.source AS s2
+                FROM srcs a JOIN srcs b ON a.source < b.source
+            ),
+            common AS (
+                SELECT a.source AS s1, b.source AS s2, count(*) AS c
+                FROM dw a JOIN dw b ON a.word = b.word AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT s1, s2, coalesce(c, 0)::BIGINT AS exact_common_words,
+                   TRUE AS within_bound
+            FROM grid LEFT JOIN common USING (s1, s2)
+            ORDER BY s1, s2
+        """,
+        # benchmark decontamination twin: identical 5-gram shingling,
+        # identical md5-nibble benchmark carve
+        "contamination_ngram_overlap": """
+            WITH doc_ws AS (
+                SELECT doc_id, source,
+                       strpos('0123456789abcdef',
+                              substr(md5(doc_id::VARCHAR), 1, 1)) - 1 = 0 AS bench,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source, bench,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                       ws[i+3] || ' ' || ws[i+4] AS s
+                FROM doc_ws, unnest(range(1, len(ws) - 3)) AS t(i)
+                WHERE len(ws) >= 5
+            ),
+            bset AS (SELECT DISTINCT s FROM sh WHERE bench),
+            cand AS (SELECT DISTINCT doc_id, source, s FROM sh WHERE NOT bench),
+            per_doc AS (
+                SELECT c.doc_id, c.source, count(*) AS tot,
+                       sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS ov
+                FROM cand c LEFT JOIN bset b ON c.s = b.s
+                GROUP BY c.doc_id, c.source
+            )
+            SELECT source, count(*) AS docs_checked,
+                   sum(CASE WHEN ov > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_flagged,
+                   sum(CASE WHEN ov * 1.0 / tot >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+                       AS docs_contaminated,
+                   round(max(ov * 1.0 / tot), 6) AS max_overlap_ratio
+            FROM per_doc GROUP BY source ORDER BY source
+        """,
+        # deterministic stratified sample: same key-pure md5-nibble rule,
+        # digest pins sample MEMBERSHIP cross-engine (lexical id order)
+        "stable_sample_digest": """
+            WITH pop AS (
+                SELECT source, count(*) AS population_docs
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT source, count(*) AS sampled_docs,
+                       md5(string_agg(doc_id::VARCHAR, ','
+                           ORDER BY doc_id::VARCHAR)) AS sample_digest
+                FROM documents
+                WHERE strpos('0123456789abcdef',
+                             substr(md5(doc_id::VARCHAR), 1, 1)) - 1 < 4
+                GROUP BY source
+            )
+            SELECT pop.source AS source, population_docs,
+                   coalesce(sampled_docs, 0)::BIGINT AS sampled_docs,
+                   coalesce(sample_digest, md5('')) AS sample_digest
+            FROM pop LEFT JOIN s USING (source) ORDER BY source
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -622,7 +622,7 @@ def tree_merge(
             rows = partials.collect()
             st = spec.merge_many(spec.deserialize(bytes(r.sketch)) for r in rows)
             n = sum(int(r.n_values) for r in rows)
-            secs = sum(float(r.build_secs) for r in rows)
+            secs = float(sum(float(r.build_secs) for r in rows))
             return partials.sparkSession.createDataFrame(
                 [(spec.serialize(st), n, secs)],
                 "sketch binary, n_values long, build_secs double",

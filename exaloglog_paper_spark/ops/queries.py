@@ -16,6 +16,8 @@ Two families:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .agg import (
@@ -63,11 +65,14 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3, extra_cols: Sequence[str] = ()
+) -> DataFrame:
     """documents exploded to one row per word n-gram shingle (order-aware
     dedup unit; same deterministic tokenization as _words). The shingle
     table has the exact (doc_id, word) shape the MinHash/LSH/Jaccard
-    machinery consumes, so n-gram dedup reuses it unchanged."""
+    machinery consumes, so n-gram dedup reuses it unchanged;
+    ``extra_cols`` carries document attributes (e.g. source) through."""
     words = F.filter(F.split(F.lower(F.col("text")), WORD_SPLIT_RE), lambda w: w != "")
     cnt = F.size(words) - (n - 1)  # number of shingles; <= 0 for short docs
     sh = F.when(
@@ -79,7 +84,9 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _spread(_docs(spark, sf_dir)).select("doc_id", F.explode(sh).alias("word"))
+    return _spread(_docs(spark, sf_dir)).select(
+        "doc_id", *extra_cols, F.explode(sh).alias("word")
+    )
 
 
 def exact_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,4 +1431,177 @@ def martingale_partition_stream_bound(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("martingale_within_bound"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data governance queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-word overlap between EVERY source pair via sketch
+    inclusion-exclusion, verified against the exact pairwise intersection
+    counts.
+
+    Scale shape: ONE grouped sketch aggregation (a single shuffle moving
+    KB register states, `ops/agg.sketch_agg`) produces one ExaLogLog per
+    source; the S*(S-1)/2 pairwise estimates are then pure driver-side
+    folds over those KB states (`ops/rollup.estimate_intersection`) — no
+    second pass over the data, no pairwise shuffle, O(S^2) work on KB
+    inputs (fine to thousands of sources). The exact self-join on the
+    distinct (source, word) table is the verification harness only; the
+    production answer is the sketch matrix. Cited behavior:
+    ExaLogLog.java merge + getDistinctCountEstimate (inclusion-exclusion
+    is the documented composition of the two).
+
+    The bound multiplier is calibrated against the variance of the I-E
+    sum est_A + est_B - est_AuB (three correlated estimates; the union
+    shares both operands' hash randomness, so 5·RSE·(est_A+est_B) is a
+    conservative envelope — the same bound the single-pair
+    intersection_distinct_words_bound query has pinned since round 2).
+    """
+    from itertools import combinations
+
+    from .rollup import estimate_intersection
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    words = _words(spark, sf_dir).withColumn("h", F.xxhash64("word")).persist()
+    state_rows = sketch_agg(words, spec, hash64_values("h"), by=["source"]).collect()
+    states = {r.source: bytes(r.sketch) for r in state_rows}
+    ests = {s: spec.finalize(spec.deserialize(b)) for s, b in states.items()}
+    rse = spec.theoretical_rse()
+    pairs = [
+        (
+            a,
+            b,
+            float(estimate_intersection(spec, states[a], states[b])),
+            float(5.0 * rse * (ests[a] + ests[b])),
+        )
+        for a, b in combinations(sorted(states), 2)
+    ]
+    estdf = spark.createDataFrame(pairs, "s1 string, s2 string, est double, tol double")
+    dw = words.select("source", "word").distinct()
+    exact = (
+        dw.alias("a")
+        .join(dw.alias("b"), "word")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        estdf.join(exact, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce(F.col("common"), F.lit(0)).cast("long").alias("exact_common_words"),
+            (
+                F.abs(F.col("est") - F.coalesce(F.col("common"), F.lit(0)))
+                <= F.col("tol")
+            ).alias("within_bound"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose 5-gram
+    shingle sets overlap a held-out benchmark set (the classic eval-leak
+    check for LLM training corpora).
+
+    The benchmark set is carved deterministically (first md5 nibble of
+    doc_id == '0', ~1/16 of docs — portable across engines, CLAUDE.md's
+    md5 convention); every non-benchmark doc is scored by
+    |shingles(doc) ∩ shingles(benchmark)| / |shingles(doc)| and a source
+    is summarized by its checked/flagged/contaminated doc counts and max
+    overlap ratio.
+
+    Scale shape: the benchmark shingle set is the SMALL side by contract
+    (real benchmarks are a few thousand docs vs 10^12 training docs), so
+    the probe is an explicitly broadcast LEFT join keyed on the shingle —
+    no shuffle of the full training shingle table, no pairwise doc×doc
+    work; the per-doc aggregation is a single groupBy(doc_id) whose input
+    was already partitioned by the scan. Threshold 0.5 marks verbatim or
+    near-verbatim leakage; ov > 0 is the audit trail.
+    """
+    n = 5
+    sh = _shingles(spark, sf_dir, n=n, extra_cols=("source",)).withColumn(
+        "bench",
+        F.expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1")
+        == 0,
+    )
+    sh = sh.persist()
+    bench_set = sh.filter(F.col("bench")).select("word").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    cand = (
+        sh.filter(~F.col("bench")).select("doc_id", "source", "word").distinct()
+    )
+    per_doc = (
+        cand.join(F.broadcast(bench_set), "word", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("ov"),
+        )
+        .withColumn("ratio", F.col("ov") / F.col("tot"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_checked"),
+            F.sum((F.col("ov") > 0).cast("long")).alias("docs_flagged"),
+            F.sum((F.col("ratio") >= 0.5).cast("long")).alias("docs_contaminated"),
+            F.round(F.max("ratio"), 6).alias("max_overlap_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def stable_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with cross-engine membership
+    proof: keep a document iff the first md5 nibble of its doc_id is < 4
+    (rate 1/4), per source.
+
+    Reproducible splits are a training-pipeline primitive (holdout
+    carving, ablation subsets, progressive scaling runs): the sampling
+    rule is a pure function of the row key, so ANY engine — and any
+    re-run over re-partitioned data — selects byte-identically the same
+    rows. The output pins that: `sample_digest` is the md5 of the
+    lexically sorted sampled id list, so the oracle comparison verifies
+    sample MEMBERSHIP, not just counts.
+
+    Scale shape: the predicate is a scan-level filter (no shuffle, no
+    RNG state, trivially pushed past column pruning); the digest
+    aggregation is per-source collect_list over the SAMPLED subset only
+    — at production scale one would digest per (source, shard) and merge,
+    but membership is already guaranteed by the key-pure predicate, so
+    the digest is a verification artifact, not the scale path.
+    """
+    docs = _docs(spark, sf_dir)
+    nib = F.expr(
+        "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    pop = docs.groupBy("source").agg(F.count(F.lit(1)).alias("population_docs"))
+    samp = (
+        docs.filter(nib < 4)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+                )
+            ).alias("sample_digest"),
+        )
+    )
+    return (
+        pop.join(samp, "source", "left")
+        .select(
+            "source",
+            "population_docs",
+            F.coalesce(F.col("sampled_docs"), F.lit(0)).cast("long").alias("sampled_docs"),
+            F.coalesce(F.col("sample_digest"), F.md5(F.lit(""))).alias("sample_digest"),
+        )
+        .orderBy("source")
     )

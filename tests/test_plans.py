@@ -250,3 +250,27 @@ def test_lsh_partitioned_probe_prunes_partitions(spark, tmp_path):
     assert pf and "lsh_bucket" in pf[0], plan
     buckets = {r.lsh_bucket for r in probed.select("lsh_bucket").distinct().collect()}
     assert buckets <= {3, 7}
+
+
+def test_contamination_probe_is_broadcast_join(spark):
+    """The benchmark-shingle probe in contamination_ngram_overlap must be a
+    broadcast LEFT join on the shingle (benchmark set = small side by
+    contract) — never a SortMergeJoin shuffling the full training shingle
+    table on a string key."""
+    df = Q.contamination_ngram_overlap(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stable_sample_filter_is_scan_level(spark):
+    """The md5-nibble sampling predicate is key-pure and must evaluate as a
+    plain Filter over the scan — no shuffle before the per-source
+    aggregation's single exchange, no RNG/nondeterministic expression
+    (nondeterministic exprs block pushdown and re-evaluate per retry,
+    breaking sample stability under task re-execution)."""
+    df = Q.stable_sample_digest(spark, SF_DIR)
+    plan = _plan(df, mode="extended")
+    assert "rand(" not in plan  # no RNG anywhere in the sampling plan
+    # sampled-side plan: Filter directly over the file scan
+    assert "Filter" in plan
