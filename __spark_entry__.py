@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix_bound": Q.source_overlap_matrix_bound,
         "contamination_ngram_overlap": Q.contamination_ngram_overlap,
         "stable_sample_digest": Q.stable_sample_digest,
+        "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
     }
 
 
@@ -835,6 +836,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sampled_docs, 0)::BIGINT AS sampled_docs,
                    coalesce(sample_digest, md5('')) AS sample_digest
             FROM pop LEFT JOIN s USING (source) ORDER BY source
+        """,
+        # theta/KMV set algebra: exact INTERSECT/EXCEPT counts; the sketch
+        # side's within_bound booleans assert TRUE like the other *_bound
+        # queries
+        "theta_set_ops_words_bound": """
+            WITH doc_ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            dw AS (
+                SELECT DISTINCT doc_id % 2 AS par,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+                FROM doc_ws, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3
+            )
+            SELECT
+                (SELECT count(*) FROM
+                    (SELECT s FROM dw WHERE par = 0
+                     INTERSECT
+                     SELECT s FROM dw WHERE par = 1))::BIGINT
+                    AS exact_common_shingles,
+                (SELECT count(*) FROM
+                    (SELECT s FROM dw WHERE par = 0
+                     EXCEPT
+                     SELECT s FROM dw WHERE par = 1))::BIGINT
+                    AS exact_even_only_shingles,
+                TRUE AS intersection_within_bound,
+                TRUE AS difference_within_bound
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -1605,3 +1605,63 @@ def stable_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def theta_set_ops_words_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set-algebra estimates via the Theta/KMV companion sketch:
+    distinct-shingle INTERSECTION and DIFFERENCE of the even- vs
+    odd-doc_id corpus halves from two KB KMV states, verified against
+    exact INTERSECT / EXCEPT counts.
+
+    Where register-sketch inclusion-exclusion (the
+    intersection_distinct_words_bound query) carries the UNION's error —
+    useless for small overlaps — the KMV state is a uniform hash sample
+    below theta, so intersection/difference errors scale with the result
+    size itself: the bound here is 5·sigma with
+    sigma = sqrt(n·(1-theta)/theta) (sketchlib/theta.estimate_set_ops).
+
+    Scale shape: identical to every sketch query — one grouped
+    sketch_agg (single KB-state shuffle), set algebra as a driver-side
+    fold over two <=32 KB states; the exact INTERSECT/EXCEPT pass is the
+    verification harness only.
+    """
+    from .specs import ThetaSpec
+
+    spec = ThetaSpec(k=4096)
+    # 3-gram shingle sets of the even- vs odd-doc_id halves of the corpus:
+    # ~10k distinct shingles per side at sf0.01, so both KMV states
+    # SATURATE (theta ~ 0.4) and the query exercises the sampling
+    # estimator, not the exact small-set mode
+    sh = (
+        _shingles(spark, sf_dir, n=3)
+        .withColumn("par", (F.col("doc_id") % 2).cast("int"))
+        .withColumn("h", F.xxhash64("word"))
+        .persist()
+    )
+    states = {
+        r.par: bytes(r.sketch)
+        for r in sketch_agg(sh, spec, hash64_values("h"), by=["par"]).collect()
+    }
+    ops = spec.set_ops(states[0], states[1])
+    dw0 = sh.filter(F.col("par") == 0).select("word").distinct()
+    dw1 = sh.filter(F.col("par") == 1).select("word").distinct()
+    exact_common = dw0.intersect(dw1).count()
+    exact_only0 = dw0.subtract(dw1).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(exact_common),
+                int(exact_only0),
+                bool(
+                    abs(ops["intersection"] - exact_common)
+                    <= 5 * ops["intersection_sigma"]
+                ),
+                bool(
+                    abs(ops["difference"] - exact_only0)
+                    <= 5 * ops["difference_sigma"]
+                ),
+            )
+        ],
+        "exact_common_shingles long, exact_even_only_shingles long, "
+        "intersection_within_bound boolean, difference_within_bound boolean",
+    )

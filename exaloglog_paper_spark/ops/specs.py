@@ -1,6 +1,6 @@
 """SketchSpec adapters for the companion sketches (count-min, KLL,
-t-digest, Bloom) so they run through the same sketch_agg partial/tree-merge
-pipeline as ExaLogLog, plus result-extraction helpers.
+t-digest, Bloom, theta/KMV) so they run through the same sketch_agg
+partial/tree-merge pipeline as ExaLogLog, plus result-extraction helpers.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ from ..sketchlib.bloom import BloomConfig, BloomFilter
 from ..sketchlib.countmin import CountMin, CountMinConfig
 from ..sketchlib.kll import KLL, KLLConfig
 from ..sketchlib.tdigest import TDigest, TDigestConfig
+from ..sketchlib import theta as theta_lib
 from .agg import Extractor, SketchSpec, sketch_agg
 
 
@@ -152,6 +153,47 @@ class BloomSpec(SketchSpec):
 
     def finalize(self, state: BloomFilter) -> float:
         return float(state.n_added)
+
+
+class ThetaSpec(SketchSpec):
+    """Theta/KMV sketch: state = the k smallest distinct 64-bit hashes
+    (sorted unique ``<u8``; variable length, <= 8k bytes). Native set
+    algebra — intersection/difference via sketchlib.theta.estimate_set_ops
+    — with merge byte-identity under any partitioning (the k smallest of a
+    union are each among their side's k smallest)."""
+
+    def __init__(self, k: int = 4096):
+        self.k = k
+        self.name = f"theta_k{k}"
+
+    def empty(self) -> np.ndarray:
+        return np.empty(0, dtype=np.uint64)
+
+    def add(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        return theta_lib.kmin_update(state, values, self.k)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return theta_lib.kmin_merge(a, b, self.k)
+
+    def merge_many(self, states):
+        return theta_lib.kmin_merge_many(list(states), self.k)
+
+    def serialize(self, state: np.ndarray) -> bytes:
+        return state.astype("<u8").tobytes()
+
+    def deserialize(self, data: bytes) -> np.ndarray:
+        return np.frombuffer(data, dtype="<u8").copy()
+
+    def finalize(self, state: np.ndarray) -> float:
+        return theta_lib.estimate_distinct(state, self.k)
+
+    def theoretical_rse(self) -> float:
+        return 1.0 / float(np.sqrt(self.k - 2))
+
+    def set_ops(self, state_a: bytes, state_b: bytes) -> dict:
+        return theta_lib.estimate_set_ops(
+            self.deserialize(state_a), self.deserialize(state_b), self.k
+        )
 
 
 class token_array_ids(Extractor):
