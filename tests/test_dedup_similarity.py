@@ -293,3 +293,27 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(edges, "id_a string, id_b string")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_jaccard_size_prefilter_is_result_preserving(spark, docs):
+    """The min_sz >= t*max_sz prefilter in jaccard_verified_pairs is a
+    necessary condition of J >= t, so enabling it must never change the
+    output — checked against threshold=0 (prefilter disabled) on a corpus
+    whose LSH candidates include size-dissimilar pairs the filter prunes."""
+    from exaloglog_paper_spark.ops.dedup import (
+        jaccard_verified_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    words = _words(docs)
+    cands = lsh_candidate_pairs(minhash_signatures(words))
+    t = 0.9
+    filtered = jaccard_verified_pairs(words, cands, threshold=t)
+    unfiltered = (
+        jaccard_verified_pairs(words, cands, threshold=0.0)
+        .filter(F.col("jaccard") >= t)
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in filtered.collect()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in unfiltered.collect()}
+    assert got == want and len(got) >= 5
