@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cube_words": Q.sketch_cube_words,
         "sparse_distinct_tokens_per_doc_sample": Q.sparse_distinct_tokens_per_doc_sample,
         "hourly_event_stats": Q.hourly_event_stats,
+        "sliding_window_distinct_users_bound": Q.sliding_window_distinct_users_bound,
         "intersection_distinct_words_bound": Q.intersection_distinct_words_bound,
         "top_customers_by_revenue": Q.top_customers_by_revenue,
         "user_sessionization": Q.user_sessionization,
@@ -440,6 +441,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS users,
                    round(sum(value), 3) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_distinct_users_bound": """
+            WITH ev AS (
+                SELECT date_trunc('hour', ts) AS hour, user_id FROM events
+            ),
+            wins AS (
+                SELECT hour - k * INTERVAL 1 HOUR AS window_start, user_id
+                FROM ev, range(0, 24) t(k)
+            )
+            SELECT window_start,
+                   count(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM wins GROUP BY window_start
         """,
         "intersection_distinct_words_bound": f"""
             WITH {WORD_CTE}

@@ -310,6 +310,69 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_distinct_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour sliding windows (1-hour step) of distinct users over the
+    events table, estimated by MERGING per-hour ExaLogLog states instead of
+    rescanning rows per window.
+
+    The scale shape: raw events are sketched ONCE into tumbling 1-hour
+    states (one shuffle, KB per hour); each hour state then fans out to
+    the 24 sliding windows that cover it and the per-window sketch is a
+    pure state merge (24 register folds of ~3.6 KB each — the merge
+    algebra's ``state(A∪B) == merge(state(A), state(B))`` is what makes
+    the derivation exact). At 10^12 events the alternative — exploding
+    every ROW into its 24 covering windows — multiplies the shuffle by
+    the overlap factor; the state-fanout path shuffles 24 KB-sized rows
+    per hour regardless of event volume. The exact side (and the DuckDB
+    oracle) computes the row-explode form for verification; the oracle
+    asserts the estimate is within 5·RSE of the exact count per window.
+    """
+    from .agg import tree_merge
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    bound = 5 * spec.theoretical_rse()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "user_id",
+        )
+        .withColumn("h", F.xxhash64("user_id"))
+    )
+    hour_states = sketch_agg(ev, spec, hash64_values("h"), by=["hour"])
+    fanned = (
+        hour_states.select(
+            "hour", "sketch", "n_values", "build_secs",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"),
+        )
+        .select(
+            F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"),
+            "sketch",
+            "n_values",
+            F.col("k").cast("long").alias("partition_id"),
+            "build_secs",
+        )
+    )
+    est = with_estimate(
+        tree_merge(fanned, spec, by=["window_start"], num_partials=24), spec
+    )
+    exact = (
+        ev.select("hour", "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"))
+        .select(F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"), "user_id")
+        .groupBy("window_start")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return exact.join(
+        F.broadcast(est.select("window_start", "estimate")), "window_start"
+    ).select(
+        "window_start",
+        "exact_users",
+        (F.abs(F.col("estimate") / F.col("exact_users") - 1) <= F.lit(bound)).alias(
+            "within_bound"
+        ),
+    )
+
+
 def intersection_distinct_words_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct words common to src0 and src1 via sketch inclusion-exclusion
     vs the exact INTERSECT count; the oracle asserts the derived bound

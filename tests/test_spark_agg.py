@@ -449,3 +449,57 @@ def test_prune_versions_cleans_stale_scratch_dirs(spark, tdf, tmp_path):
     assert not os.path.exists(crashed_old)
     assert os.path.exists(inflight)
     assert latest_version(tdir) == 2
+
+
+def test_sliding_window_state_fanout_equals_direct_window_build(spark):
+    """The sliding-window query derives each window's sketch by MERGING the
+    covering per-hour states (queries.sliding_window_distinct_users_bound).
+    The merge algebra makes that derivation exact: for every window, the
+    merged state must be byte-identical to a sketch built directly from
+    that window's raw rows."""
+    import pyspark.sql.functions as F
+
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        hash64_values,
+        sketch_agg,
+        tree_merge,
+    )
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "user_id",
+        )
+        .withColumn("h", F.xxhash64("user_id"))
+    )
+    hour_states = sketch_agg(ev, spec, hash64_values("h"), by=["hour"])
+    fanned = (
+        hour_states.select(
+            "hour", "sketch", "n_values", "build_secs",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+        )
+        .select(
+            F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"),
+            "sketch", "n_values",
+            F.col("k").cast("long").alias("partition_id"), "build_secs",
+        )
+    )
+    merged = {
+        r.window_start: bytes(r.sketch)
+        for r in tree_merge(fanned, spec, by=["window_start"], num_partials=6).collect()
+    }
+    direct = (
+        ev.select(
+            "h", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"), "hour"
+        )
+        .select(F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"), "h")
+    )
+    direct_states = {
+        r.window_start: bytes(r.sketch)
+        for r in sketch_agg(direct, spec, hash64_values("h"), by=["window_start"]).collect()
+    }
+    assert merged.keys() == direct_states.keys() and len(merged) > 10
+    assert all(merged[w] == direct_states[w] for w in merged)
