@@ -337,6 +337,10 @@ def sliding_window_distinct_users_bound(spark: SparkSession, sf_dir: str) -> Dat
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
             "user_id",
         )
+        # NULL user_ids carry through xxhash64 as NULL; drop them so the
+        # sketch matches count_distinct's NULL-ignoring semantics (the
+        # synthetic table has none — this is the generic-operator contract)
+        .filter(F.col("user_id").isNotNull())
         .withColumn("h", F.xxhash64("user_id"))
     )
     hour_states = sketch_agg(ev, spec, hash64_values("h"), by=["hour"])
