@@ -123,6 +123,9 @@ def main() -> None:
 
 
 def _update_bench_md(report: dict) -> None:
+    """APPEND a run section to BENCH/SCALING.md (never overwrite: the file
+    is a curated multi-experiment record — an earlier overwrite here once
+    clobbered the 2->8 evidence; git restored it)."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "SCALING.md")
     rows = "\n".join(
@@ -136,39 +139,20 @@ def _update_bench_md(report: dict) -> None:
         "(north-rule target >= 0.8)"
         for pr in report["pairs"]
     )
-    content = f"""# BENCH baseline — scaling evidence ({report['timestamp']})
+    section = f"""
 
-Headline job: global ExaLogLog(2,20,10) distinct-token sketch build over the
-{report['sf']} synthetic token table ({report['tokens']:,} tokens; parquet scan ->
-vectorized partial sketches -> tree merge -> ML estimate), identical input at
-each parallelism level (sandbox proxy for the north rule's N -> 4N executor
-criterion; min of repeated runs to damp co-tenant noise, per-level
-[min, max] spread disclosed). The
-calibration column is the single-thread 2M-element insert kernel measured
-before/after each level (bench.py's throttle gate, ~14.5 ns/element on a
-quiet box): it separates hypervisor throttling from plan behavior.
+## Run {report['timestamp']} — {report['sf']} ({report['tokens']:,} tokens), levels {[r['cpus'] for r in report['levels']]}
 
 | parallelism | wall time (min of reps) | spread | throughput | calib ns/el [pre, post] |
 |---|---|---|---|---|
 {rows}
 
 {pair_lines}
-
-Reference single-thread baseline (BASELINE.md): 25.4 ns/element insert
-(~39M elements/s, in-memory pre-hashed JMH loop, c5.metal). Our per-core
-end-to-end rate includes parquet decode + Arrow transfer + hashing; the
-distributed design trades per-core constant factors for horizontal scale
-and merge exactness.
-
-History: the 8 -> 32 quadrupling measured 0.43-0.53 in round 4 with
-rep-by-rep evidence (identical 32-core job degrading 41 -> 78 -> 101 s
-back-to-back) that the dip is sustained-load hypervisor throttling, not
-plan behavior — the same binary scales at 0.95+ where the box delivers
-honest CPU, and the per-level calibration kernels above now make that
-distinction measurable inside every run.
 """
-    with open(md, "w") as f:
-        f.write(content)
+    if not os.path.exists(md):
+        section = "# BENCH baseline — scaling evidence\n" + section
+    with open(md, "a") as f:
+        f.write(section)
 
 
 if __name__ == "__main__":
