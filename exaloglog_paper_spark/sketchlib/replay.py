@@ -149,11 +149,26 @@ def replay_first_hits(
     u_traj = np.empty((R, K), np.int32)
     b_traj = np.empty((R, K), np.uint64)
     dec = np.zeros((R, K), np.uint64)
+    # new-max events: defer the a(u,B) evaluations and batch them AFTER the
+    # column loop — two _a_scaled calls over all events instead of two per
+    # column (the per-column form was ~440 numpy dispatches on ~R-row
+    # slices and dominated the whole replay; identical uint64 arithmetic,
+    # so the decrements are byte-identical — pinned by the replay-vs-loop
+    # tests)
+    ev_rows: list[np.ndarray] = []
+    ev_cols: list[int] = []
+    ev_u_old: list[np.ndarray] = []
+    ev_b_old: list[np.ndarray] = []
+    ev_u_new: list[np.ndarray] = []
+    ev_b_new: list[np.ndarray] = []
     for j in range(K):
         kj = kv[:, j]
         nm = np.flatnonzero(kj > u)
         if nm.size:
-            a_old = _a_scaled(u[nm], b[nm], pw, om, d)
+            ev_rows.append(nm)
+            ev_cols.append(j)
+            ev_u_old.append(u[nm])
+            ev_b_old.append(b[nm])
             if collect_b_deltas:
                 u_old = u[nm]
                 b_old = b[nm]
@@ -189,7 +204,8 @@ def replay_first_hits(
             delta = (kj[nm] - u[nm]).astype(np.uint64)
             b[nm] = rshift_clamped((ONE << U64(d)) | b[nm], delta)
             u[nm] = kj[nm]
-            dec[nm, j] = a_old - _a_scaled(u[nm], b[nm], pw, om, d)
+            ev_u_new.append(u[nm])
+            ev_b_new.append(b[nm])
         off = u - kj
         bs = np.flatnonzero((off > 0) & (off <= d))
         if bs.size:
@@ -199,6 +215,18 @@ def replay_first_hits(
                 emit(bs, cs[bs, j], cell_lut[kv[bs, j]], 1)
         u_traj[:, j] = u
         b_traj[:, j] = b
+    if ev_rows:
+        rows_all = np.concatenate(ev_rows)
+        cols_all = np.concatenate(
+            [np.full(len(r), c, np.int64) for r, c in zip(ev_rows, ev_cols)]
+        )
+        a_old_all = _a_scaled(
+            np.concatenate(ev_u_old), np.concatenate(ev_b_old), pw, om, d
+        )
+        a_new_all = _a_scaled(
+            np.concatenate(ev_u_new), np.concatenate(ev_b_new), pw, om, d
+        )
+        dec[rows_all, cols_all] = a_old_all - a_new_all
     if not collect_b_deltas:
         return cs, u_traj, b_traj, dec
     if del_rows:
