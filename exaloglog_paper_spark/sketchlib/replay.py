@@ -291,8 +291,23 @@ class StreamingFirstHits:
         self._tmp = np.empty(self.m * self.k_max, np.float64)
         self.n = 0
 
+    # internal chunk size: the per-element work (hash_to_idx_k -> key ->
+    # scatter) runs ~1.5x faster when the intermediate arrays stay
+    # cache-resident (44 -> 30 ns/element at 2M on this box, same curve as
+    # add_hashes' 256k chunking); chunking is invisible by construction —
+    # first-hit positions depend only on the concatenated stream (pinned by
+    # the arbitrary-chunking property test)
+    _CHUNK = 512 * 1024
+
     def update(self, hashes: np.ndarray) -> None:
         h = as_u64(np.asarray(hashes))
+        if len(h) > self._CHUNK:
+            for s in range(0, len(h), self._CHUNK):
+                self._update_chunk(h[s : s + self._CHUNK])
+            return
+        self._update_chunk(h)
+
+    def _update_chunk(self, h: np.ndarray) -> None:
         if len(h) == 0:
             return
         idx, k = hash_to_idx_k(h, self.t, self.p)
