@@ -74,6 +74,12 @@ class SketchSpec(abc.ABC):
     def finalize(self, state) -> float:
         """Scalar result (e.g. the distinct-count estimate)."""
 
+    def serialize_batch(self, states) -> list:
+        """Serialize many states; must equal the per-state ``serialize``
+        byte-for-byte (specs with fixed-width register states may override
+        with a batched pack — identity pinned by test)."""
+        return [self.serialize(s) for s in states]
+
     def merge_many(self, states):
         """Fold many states into one; must equal the sequential pairwise
         fold exactly (specs whose merge is associative+commutative may
@@ -126,6 +132,23 @@ class ExaLogLogSpec(SketchSpec):
 
     def serialize(self, state: ExaLogLog) -> bytes:
         return state.serialize()
+
+    def serialize_batch(self, states) -> list:
+        """Batched bit-pack of homogeneous register states (one numpy pass
+        for the whole flush instead of ~16.5 µs of dispatch per state);
+        falls back to the per-state loop for mixed/foreign states."""
+        from ..sketchlib.bitops import pack_registers_batch
+
+        states = list(states)
+        cfg = self.cfg
+        if len(states) < 2 or not all(
+            isinstance(s, ExaLogLog) and s.cfg == cfg for s in states
+        ):
+            return [self.serialize(s) for s in states]
+        packed = pack_registers_batch(
+            np.stack([s.regs for s in states]), cfg.register_bits
+        )
+        return [row.tobytes() for row in packed]
 
     def deserialize(self, data: bytes) -> ExaLogLog:
         return ExaLogLog.wrap(self.cfg.t, self.cfg.d, data)
@@ -241,6 +264,11 @@ class SparseExaLogLogSpec(ExaLogLogSpec):
         if isinstance(state, ExaLogLog):
             return b"\x01" + state.serialize()
         return b"\x00" + state.astype("<u4").tobytes()
+
+    def serialize_batch(self, states) -> list:
+        # sparse states carry a mode prefix byte — the inherited
+        # register-pack fast path would drop it; per-state is correct here
+        return [self.serialize(s) for s in states]
 
     def deserialize(self, data: bytes):
         if data[:1] == b"\x01":
@@ -443,7 +471,7 @@ def _build_partials_batches(
             data[c] = pa.array([k[i] for k in keys], type=f.type)
             fields.append(pa.field(c, f.type))
         data["sketch"] = pa.array(
-            [spec.serialize(states[k]) for k in keys], type=pa.binary()
+            spec.serialize_batch([states[k] for k in keys]), type=pa.binary()
         )
         data["n_values"] = pa.array([counts[k] for k in keys], type=pa.int64())
         data["partition_id"] = pa.array([pid] * len(keys), type=pa.int64())

@@ -148,6 +148,47 @@ def pack_registers(regs: np.ndarray, width: int) -> bytes:
     return packed[:want].tobytes()
 
 
+def pack_registers_batch(regs2d: np.ndarray, width: int) -> np.ndarray:
+    """Batched :func:`pack_registers`: (B, m) uint64 -> (B, nbytes) uint8.
+
+    Word-level pack, no per-bit expansion: register i's bits live at
+    bit-position i*width, i.e. OR ``reg << rem`` into output word
+    ``(i*width) >> 6`` and the spill ``reg >> (64-rem)`` into the next —
+    m in-cache vector ops over the batch instead of m*width expanded bit
+    bytes. Little-endian hosts only (enforced below): viewing the uint64
+    word array as bytes yields exactly the scalar pack's
+    ``packbits(bitorder="little")`` layout — byte-identical rows, pinned
+    by test. This is the serialization stage of a high-group-cardinality
+    partial flush (16k+ states per emit); ~5x the scalar pack per state.
+    Memory-bounded via ~64 MB sub-batches.
+    """
+    B, m = regs2d.shape
+    nbits = m * width
+    nwords = (nbits + 63) >> 6
+    want = (nbits + 7) >> 3
+    if not _LITTLE_ENDIAN:
+        return np.stack(
+            [np.frombuffer(pack_registers(r, width), np.uint8) for r in regs2d]
+        )
+    out = np.empty((B, want), np.uint8)
+    step = max(1, (1 << 26) // max(1, m * 8))
+    for s in range(0, B, step):
+        chunk = regs2d[s : s + step]
+        R = np.ascontiguousarray(chunk.T)  # (m, b): contiguous per-register rows
+        W = np.zeros((nwords + 1, len(chunk)), np.uint64)
+        for i in range(m):
+            bitpos = i * width
+            w = bitpos >> 6
+            rem = bitpos & 63
+            reg = R[i]
+            W[w] |= reg << U64(rem)
+            if rem + width > 64:
+                W[w + 1] |= reg >> U64(64 - rem)
+        packed = np.ascontiguousarray(W[:nwords].T).view(np.uint8)
+        out[s : s + step] = packed.reshape(len(chunk), nwords * 8)[:, :want]
+    return out
+
+
 def unpack_registers(data: bytes, width: int, m: int) -> np.ndarray:
     """Inverse of :func:`pack_registers`.
 

@@ -456,3 +456,53 @@ def test_martingale_estimator_sequential():
     # (MartingaleEstimator.java:90-116)
     est2 = MartingaleEstimator(sk.estimate(), sk.state_change_probability())
     assert est2.distinct_count_estimate > 0
+
+
+def test_pack_registers_batch_matches_scalar():
+    """pack_registers_batch rows must be byte-identical to the scalar pack
+    for every width the specs use (serialize_batch's contract), including
+    non-multiple-of-8 widths and registers with all bits set."""
+    import numpy as np
+
+    from exaloglog_paper_spark.sketchlib import bitops
+
+    rng = np.random.default_rng(7)
+    for width in (6, 11, 26, 28, 32, 57, 63):
+        for m in (64, 256, 1024):
+            regs2d = rng.integers(
+                0, 1 << width, size=(9, m), dtype=np.uint64
+            )
+            regs2d[0] = (1 << width) - 1  # saturated row
+            regs2d[1] = 0
+            batch = bitops.pack_registers_batch(regs2d, width)
+            for i in range(len(regs2d)):
+                assert batch[i].tobytes() == bitops.pack_registers(
+                    regs2d[i], width
+                ), (width, m, i)
+
+
+def test_exaloglog_spec_serialize_batch_matches_per_state():
+    """ExaLogLogSpec.serialize_batch == per-state serialize on real built
+    states; SparseExaLogLogSpec keeps its prefix-byte encoding."""
+    import numpy as np
+
+    from exaloglog_paper_spark.ops.agg import ExaLogLogSpec, SparseExaLogLogSpec
+    from exaloglog_paper_spark.sketchlib.bitops import splitmix64
+
+    spec = ExaLogLogSpec(2, 20, 8)
+    states = []
+    for i in range(17):
+        st = spec.empty()
+        spec.add(st, splitmix64(np.arange(50 * (i + 1), dtype=np.uint64) + i))
+        states.append(st)
+    assert spec.serialize_batch(states) == [spec.serialize(s) for s in states]
+
+    sp = SparseExaLogLogSpec(2, 20, 8, max_sparse=16)
+    sp_states = []
+    for i in range(6):
+        st = sp.empty()
+        st = sp.add(st, splitmix64(np.arange(8 + 20 * i, dtype=np.uint64) + i))
+        sp_states.append(st)
+    out = sp.serialize_batch(sp_states)
+    assert out == [sp.serialize(s) for s in sp_states]
+    assert {o[:1] for o in out} == {b"\x00", b"\x01"}  # both modes exercised
