@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix_bound": Q.source_overlap_matrix_bound,
         "contamination_ngram_overlap": Q.contamination_ngram_overlap,
         "stable_sample_digest": Q.stable_sample_digest,
+        "mg_heavy_hitter_tokens_bound": Q.mg_heavy_hitter_tokens_bound,
+        "bottomk_doc_sample": Q.bottomk_doc_sample,
         "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
     }
 
@@ -880,6 +882,26 @@ def oracle_sql() -> dict[str, str]:
                     AS exact_even_only_shingles,
                 TRUE AS intersection_within_bound,
                 TRUE AS difference_within_bound
+        """,
+        # Misra-Gries is deterministic: est <= true <= est + (n - sum)/(k+1)
+        # holds under ANY merge schedule, so within_bound is provably TRUE
+        "mg_heavy_hitter_tokens_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}'))
+            SELECT t AS token, count(*) AS cnt, TRUE AS within_bound
+            FROM (SELECT unnest(tokens) AS t FROM tt)
+            GROUP BY t
+            ORDER BY cnt DESC, token ASC
+            LIMIT 10
+        """,
+        # bottom-k md5 priorities == lexicographic order of the hex prefix:
+        # the oracle re-derives the sample EXACTLY (full row/hash match)
+        "bottomk_doc_sample": """
+            SELECT source, doc_id, substr(md5(doc_id::VARCHAR), 1, 16) AS priority_hex
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY substr(md5(doc_id::VARCHAR), 1, 16)
+            ) <= 8
+            ORDER BY source, priority_hex
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

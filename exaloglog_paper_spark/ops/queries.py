@@ -1732,3 +1732,98 @@ def theta_set_ops_words_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_common_shingles long, exact_even_only_shingles long, "
         "intersection_within_bound boolean, difference_within_bound boolean",
     )
+
+
+def mg_heavy_hitter_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries deterministic heavy hitters over the token table.
+
+    Count-min's complement: MG UNDERcounts with a deterministic (not
+    probabilistic) guarantee — est(x) <= true(x) <= est(x) + err with
+    err <= n/(k+1) for EVERY token x, including absent ones
+    (sketchlib/freqitems.py; Misra-Gries 1982; merge rule per Agarwal et
+    al., "Mergeable Summaries", PODS 2012). Output = exact top-10 tokens
+    (Zipf head) + the flag that the merged distributed summary's estimate
+    brackets each exact count.
+
+    Scale shape: identical to every other companion — one mapInArrow
+    partial per partition (the per-batch exact histogram is a numpy
+    np.unique, no per-row Python), KB states through the tree merge, and
+    the deterministic bound survives ANY merge schedule, so 10^5
+    partitions on 10^12 rows need no coordination.
+    """
+    import numpy as np
+
+    from .specs import MisraGriesSpec, token_array_ids
+
+    spec = MisraGriesSpec(k=256)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    row = sketch_agg(df, spec, token_array_ids("tokens")).collect()[0]
+    mg = spec.deserialize(bytes(row.sketch))
+    exact_top = (
+        df.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    ).collect()
+    ids = np.array([r.token for r in exact_top], dtype=np.int64)
+    est = mg.estimate(ids)
+    err = mg.err_bound
+    data = [
+        (int(r.token), int(r.cnt), bool(int(e) <= r.cnt and (r.cnt - int(e)) <= err))
+        for r, e in zip(exact_top, est)
+    ]
+    return spark.createDataFrame(data, "token int, cnt long, within_bound boolean")
+
+
+def bottomk_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic uniform sample (bottom-k priorities) of
+    documents per source — the fixed-SIZE complement of the rate-based
+    ``stable_sample_digest`` rule.
+
+    The priority is the first 16 hex chars of md5(doc_id) (a key-pure
+    uniform rank), computed JVM-side; the sketch state is the k smallest
+    priorities per group (ops/specs.BottomKSampleSpec — a KMV state, so
+    merges are byte-identical under any partitioning / merge tree). The
+    DuckDB oracle re-derives the sample EXACTLY (row_number() over md5
+    order), making this a hash-compared full-match query, not a bound
+    check: cross-engine-reproducible fixed-size samples are a
+    training-pipeline primitive (eval carve-outs, human-review draws,
+    per-source inspection quotas).
+
+    Scale shape: the build is the standard sketch_agg partial/tree-merge
+    (KB states; one row per group per partition); payload recovery is a
+    broadcast semi-join of the S*k winning priorities back against the
+    scan — no extra shuffle of the data, no driver-side data rows.
+    """
+    K = 8
+    docs = _docs(spark, sf_dir)
+    dig = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.conv(F.substring(dig, 1, 8), 16, 10).cast("long").alias("prio_hi"),
+        F.conv(F.substring(dig, 9, 8), 16, 10).cast("long").alias("prio_lo"),
+    )
+    from .specs import BottomKSampleSpec, md5_priority_values
+
+    spec = BottomKSampleSpec(k=K)
+    states = sketch_agg(keyed, spec, md5_priority_values(), by=["source"]).collect()
+    rows = []
+    for r in states:
+        for p in spec.deserialize(bytes(r.sketch)):
+            v = int(p)
+            rows.append((r.source, v >> 32, v & 0xFFFFFFFF))
+    winners = spark.createDataFrame(rows, "source string, prio_hi long, prio_lo long")
+    return (
+        keyed.join(F.broadcast(winners), ["source", "prio_hi", "prio_lo"], "inner")
+        .select(
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias(
+                "priority_hex"
+            ),
+        )
+        .orderBy("source", "priority_hex")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from ..sketchlib.bitops import splitmix64
 from ..sketchlib.bloom import BloomConfig, BloomFilter
 from ..sketchlib.countmin import CountMin, CountMinConfig
+from ..sketchlib.freqitems import FreqItemsConfig, MisraGries
 from ..sketchlib.kll import KLL, KLLConfig
 from ..sketchlib.tdigest import TDigest, TDigestConfig
 from ..sketchlib import theta as theta_lib
@@ -196,6 +197,84 @@ class ThetaSpec(SketchSpec):
         )
 
 
+class MisraGriesSpec(SketchSpec):
+    """Misra-Gries frequent items (deterministic heavy hitters).
+
+    ``add`` consumes raw *int64 item ids* (like CountMinSpec) so the
+    retained items stay identifiable. The retained counter SET depends on
+    partitioning (like KLL/t-digest, unlike the register sketches); the
+    guarantee ``est(x) <= true(x) <= est(x) + err_bound`` with
+    ``err_bound <= n/(k+1)`` is partitioning-invariant and is what the
+    tests pin (sketchlib/freqitems.py module docstring)."""
+
+    def __init__(self, k: int = 256):
+        self.cfg = FreqItemsConfig(k)
+        self.name = f"misragries_k{k}"
+
+    def empty(self) -> MisraGries:
+        return MisraGries(self.cfg)
+
+    def add(self, state: MisraGries, values: np.ndarray) -> MisraGries:
+        return state.add_ids(values)
+
+    def merge(self, a: MisraGries, b: MisraGries) -> MisraGries:
+        return a.merge_(b)
+
+    def merge_many(self, states):
+        states = list(states)
+        if not states:
+            return self.empty()
+        return states[0].merge_many_(states[1:])
+
+    def serialize(self, state: MisraGries) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> MisraGries:
+        return MisraGries.deserialize(self.cfg, data)
+
+    def finalize(self, state: MisraGries) -> float:
+        return float(state.err_bound)
+
+
+class BottomKSampleSpec(SketchSpec):
+    """Bottom-k priority sample: state = the k smallest 64-bit priorities
+    seen (sorted unique ``<u8`` — structurally a KMV state, reusing the
+    theta kernel, so the EXACT merge algebra holds byte-for-byte under any
+    partitioning).
+
+    With a key-pure priority (md5 of the row key, computed JVM-side), the
+    retained set is a uniform fixed-size sample of distinct keys that ANY
+    engine reproduces exactly — the fixed-size complement of the
+    rate-based ``stable_sample_digest`` rule. Payload recovery is a
+    broadcast semi-join of the k winning priorities back against the
+    table (KB state; one extra map-side stage, no extra shuffle)."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.name = f"bottomk_k{k}"
+
+    def empty(self) -> np.ndarray:
+        return np.empty(0, dtype=np.uint64)
+
+    def add(self, state: np.ndarray, values: np.ndarray) -> np.ndarray:
+        return theta_lib.kmin_update(state, values, self.k)
+
+    def merge(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return theta_lib.kmin_merge(a, b, self.k)
+
+    def merge_many(self, states):
+        return theta_lib.kmin_merge_many(list(states), self.k)
+
+    def serialize(self, state: np.ndarray) -> bytes:
+        return state.astype("<u8").tobytes()
+
+    def deserialize(self, data: bytes) -> np.ndarray:
+        return np.frombuffer(data, dtype="<u8").copy()
+
+    def finalize(self, state: np.ndarray) -> float:
+        return float(len(state))
+
+
 class token_array_ids(Extractor):
     """Flatten array<int32> to raw int64 ids (no hashing — for count-min
     candidate tracking)."""
@@ -218,6 +297,24 @@ class token_array_ids(Extractor):
         flat = arr.values.to_numpy(zero_copy_only=False)
         flat = flat[offsets[0] : offsets[-1]]
         return flat.astype(np.int64, copy=False), np.diff(offsets)
+
+
+class md5_priority_values(Extractor):
+    """uint64 priorities from two JVM-computed 32-bit halves of the first
+    16 hex chars of an md5 key digest (``conv(substr(md5(key), ...), 16,
+    10)``). Numeric order of the u64 equals lexicographic order of the hex
+    prefix, so a DuckDB oracle reproduces bottom-k selection exactly with
+    ``ORDER BY substr(md5(key), 1, 16)``. All hashing stays JVM-side
+    (codegen); the extractor is two primitive-column reads."""
+
+    def __init__(self, hi_col: str = "prio_hi", lo_col: str = "prio_lo"):
+        self.hi_col, self.lo_col = hi_col, lo_col
+        self.input_cols = (hi_col, lo_col)
+
+    def __call__(self, batch):
+        hi = batch.column(self.hi_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch.column(self.lo_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (hi << np.uint64(32)) | lo, None
 
 
 def cms_heavy_hitters(

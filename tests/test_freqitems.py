@@ -1,0 +1,159 @@
+"""Misra-Gries frequent items: the deterministic bracket guarantee
+``est(x) <= true(x) <= est(x) + err_bound`` with ``err_bound <= n/(k+1)``
+under ANY chunking / merge schedule (the mergeable-summaries contract —
+the counter SET is order-dependent, the guarantee is not), plus the
+bottom-k priority sample's exact KMV merge algebra through sketch_agg."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exaloglog_paper_spark.ops.agg import sketch_agg
+from exaloglog_paper_spark.ops.specs import (
+    BottomKSampleSpec,
+    MisraGriesSpec,
+    md5_priority_values,
+    token_array_ids,
+)
+from exaloglog_paper_spark.sketchlib.freqitems import FreqItemsConfig, MisraGries
+
+
+def _zipf_stream(n, seed, vocab=5000, s=1.1):
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.power(np.arange(1, vocab + 1, dtype=np.float64), s)
+    cdf = np.cumsum(w / w.sum())
+    return np.searchsorted(cdf, rng.random(n), side="right").astype(np.int64)
+
+
+def _assert_guarantee(mg: MisraGries, stream: np.ndarray):
+    k = mg.cfg.k
+    assert mg.n == len(stream)
+    assert len(mg.ids) <= k
+    assert (mg.counts > 0).all()
+    assert 0 <= mg.err_bound <= mg.n / (k + 1)
+    true_ids, true_cnt = np.unique(stream, return_counts=True)
+    est = mg.estimate(true_ids)
+    assert (est <= true_cnt).all(), "MG must never overcount"
+    assert (true_cnt - est <= mg.err_bound + 1e-9).all(), "undercount exceeds bound"
+    # absent items: estimate 0, true count must be <= err_bound
+    absent = np.setdiff1d(true_ids, mg.ids)
+    if len(absent):
+        a_cnt = true_cnt[np.searchsorted(true_ids, absent)]
+        assert (a_cnt <= mg.err_bound + 1e-9).all()
+    # guaranteed presence of items with freq > n/(k+1)
+    heavy = true_ids[true_cnt > mg.n / (k + 1)]
+    assert np.isin(heavy, mg.ids).all()
+
+
+def test_single_stream_guarantee():
+    stream = _zipf_stream(200_000, seed=1)
+    mg = MisraGries(FreqItemsConfig(k=64)).add_ids(stream)
+    _assert_guarantee(mg, stream)
+
+
+def test_exact_mode_small_universe():
+    stream = np.repeat(np.arange(10, dtype=np.int64), 100)
+    mg = MisraGries(FreqItemsConfig(k=32)).add_ids(stream)
+    assert mg.err_bound == 0.0
+    assert (mg.estimate(np.arange(10)) == 100).all()
+
+
+def test_guarantee_under_arbitrary_chunking_and_merge_trees():
+    stream = _zipf_stream(300_000, seed=2)
+    rng = np.random.default_rng(3)
+    for n_chunks in (2, 7, 33):
+        cuts = np.sort(rng.choice(len(stream) - 1, size=n_chunks - 1, replace=False)) + 1
+        parts = [
+            MisraGries(FreqItemsConfig(k=64)).add_ids(c)
+            for c in np.split(stream, cuts)
+        ]
+        # pairwise left fold
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.merge_(p)
+        _assert_guarantee(acc, stream)
+    # k-way fold (single trim) — same guarantee
+    parts = [
+        MisraGries(FreqItemsConfig(k=64)).add_ids(c)
+        for c in np.array_split(stream, 16)
+    ]
+    kway = parts[0].merge_many_(parts[1:])
+    _assert_guarantee(kway, stream)
+
+
+def test_serialization_roundtrip():
+    cfg = FreqItemsConfig(k=48)
+    mg = MisraGries(cfg).add_ids(_zipf_stream(50_000, seed=4))
+    back = MisraGries.deserialize(cfg, mg.serialize())
+    assert back.n == mg.n
+    assert (back.ids == mg.ids).all()
+    assert (back.counts == mg.counts).all()
+    # empty state
+    e = MisraGries.deserialize(cfg, MisraGries(cfg).serialize())
+    assert e.n == 0 and len(e.ids) == 0 and e.err_bound == 0.0
+
+
+def test_top_items_deterministic_order():
+    mg = MisraGries(FreqItemsConfig(k=16))
+    mg._combine(np.array([5, 3, 9], dtype=np.int64), np.array([7, 7, 2], dtype=np.int64))
+    assert mg.top_items(3) == [(3, 7), (5, 7), (9, 2)]
+
+
+def test_mg_spark_partitioning_invariant_guarantee(spark):
+    """Through the distributed sketch_agg at two partition layouts, the
+    deterministic bracket holds for every token of the exact histogram."""
+    from exaloglog_paper_spark.ops import tokens as tok
+
+    df = tok.token_table(spark, 2_000)
+    exact = {
+        r.t: r.c
+        for r in df.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    spec = MisraGriesSpec(k=128)
+    for parts in (2, 16):
+        row = sketch_agg(
+            df.repartition(parts), spec, token_array_ids("tokens")
+        ).collect()[0]
+        mg = spec.deserialize(bytes(row.sketch))
+        assert mg.n == n_total == int(row.n_values)
+        assert mg.err_bound <= n_total / (spec.cfg.k + 1)
+        ids = np.array(sorted(exact), dtype=np.int64)
+        cnt = np.array([exact[i] for i in ids], dtype=np.int64)
+        est = mg.estimate(ids)
+        assert (est <= cnt).all()
+        assert (cnt - est <= mg.err_bound + 1e-9).all()
+
+
+def test_bottomk_sample_byte_identity_and_ground_truth(spark):
+    """Bottom-k sample states are byte-identical under partitioning (KMV
+    algebra) and equal the numpy ground truth of the md5 priorities."""
+    import hashlib
+
+    n = 3_000
+    spec = BottomKSampleSpec(k=16)
+    dig = F.md5(F.col("id").cast("string"))
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.conv(F.substring(dig, 1, 8), 16, 10).cast("long").alias("prio_hi"),
+        F.conv(F.substring(dig, 9, 8), 16, 10).cast("long").alias("prio_lo"),
+    )
+    states = {}
+    for parts in (2, 32):
+        rows = sketch_agg(
+            df.repartition(parts), spec, md5_priority_values(), by=["g"]
+        ).collect()
+        states[parts] = {r.g: bytes(r.sketch) for r in rows}
+    assert states[2] == states[32]
+    # numpy ground truth: k smallest u64 prefixes of md5(str(i)) per group
+    prios = {str(g): [] for g in range(4)}
+    for i in range(n):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        prios[str(i % 4)].append(int(h[:16], 16))
+    for g, lst in prios.items():
+        want = np.array(sorted(lst)[:16], dtype=np.uint64)
+        got = spec.deserialize(states[2][g])
+        assert (got == want).all()
