@@ -56,3 +56,56 @@ def streaming_distinct_sketch(grouped, spec: ExaLogLogSpec, token_col: str = "to
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = "key string, item long, est long, err_bound double, n_values long"
+
+
+def streaming_heavy_hitters(grouped, spec, token_col: str = "tokens", topn: int = 10):
+    """Per-key streaming frequent items over a Misra-Gries state
+    (ops/specs.MisraGriesSpec): each micro-batch folds its token arrays
+    into the key's summary (one np.unique histogram per batch, no per-row
+    Python) and emits the current top-``topn`` items with the
+    deterministic bracket ``est <= true <= est + err_bound``.
+
+    Unlike the distinct sketches the MG state is chunking-dependent, so
+    stream/batch parity is at the GUARANTEE level, not byte level — the
+    bound holds for every prefix of the stream because micro-batches are
+    just another merge schedule (sketchlib/freqitems.py docstring). State
+    is O(k) per key; idempotence does NOT hold (counts are additive), so
+    exactly-once sinks or replay-free sources are required for exact n,
+    same as any streaming counter.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sketch_bytes, n = state.get
+            mg = spec.deserialize(bytes(sketch_bytes))
+        else:
+            mg, n = spec.empty(), 0
+        for pdf in pdfs:
+            lists = pdf[token_col].to_numpy()
+            if len(lists) == 0:
+                continue
+            flat = np.concatenate(lists).astype(np.int64, copy=False)
+            mg = spec.add(mg, flat)
+            n += len(flat)
+        state.update((spec.serialize(mg), n))
+        top = mg.top_items(topn)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(top),
+                "item": [t for t, _ in top],
+                "est": [c for _, c in top],
+                "err_bound": [mg.err_bound] * len(top),
+                "n_values": [n] * len(top),
+            }
+        )
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

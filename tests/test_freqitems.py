@@ -157,3 +157,55 @@ def test_bottomk_sample_byte_identity_and_ground_truth(spark):
         want = np.array(sorted(lst)[:16], dtype=np.uint64)
         got = spec.deserialize(states[2][g])
         assert (got == want).all()
+
+
+def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
+    """availableNow micro-batch stream: the final per-source MG output
+    brackets the exact counts of every emitted item, and the guaranteed
+    n/(k+1) presence threshold holds (micro-batches are just another
+    merge schedule)."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    tdf = tok.token_table(spark, 300, num_partitions=6)
+    tdf.write.parquet(src)
+
+    spec = MisraGriesSpec(k=64)
+    stream = (
+        spark.readStream.schema(tok.TOKEN_TABLE_SCHEMA)
+        .parquet(src)
+        .selectExpr("source AS key", "tokens")
+        .groupBy("key")
+    )
+    out = streaming_heavy_hitters(stream, spec, topn=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select key, item, est, err_bound, n_values from ("
+        "  select *, row_number() over "
+        "  (partition by key, item order by n_values desc) as rn from stream_hh"
+        ") where rn = 1"
+    ).collect()
+    assert rows
+    exact = {
+        (r.source, r.t): r.c
+        for r in tdf.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_per_key = {}
+    for r in rows:
+        n_per_key[r.key] = max(n_per_key.get(r.key, 0), r.n_values)
+    for r in rows:
+        if r.n_values < n_per_key[r.key]:
+            continue  # superseded update in the memory sink
+        true_c = exact[(r.key, r.item)]
+        assert r.est <= true_c <= r.est + r.err_bound + 1e-9, (r.key, r.item)
