@@ -94,7 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram_overlap": Q.contamination_ngram_overlap,
         "stable_sample_digest": Q.stable_sample_digest,
         "mg_heavy_hitter_tokens_bound": Q.mg_heavy_hitter_tokens_bound,
+        "kll_ntok_quantiles_by_source_bound": Q.kll_ntok_quantiles_by_source_bound,
         "bottomk_doc_sample": Q.bottomk_doc_sample,
+        "bloom_join_parity": Q.bloom_join_parity,
         "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
     }
 
@@ -893,6 +895,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, token ASC
             LIMIT 10
         """,
+        # grouped KLL: exact per-source interpolated percentiles; the rank
+        # tolerance is asserted inside the Spark query
+        "kll_ntok_quantiles_by_source_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}'))
+            SELECT source, CAST(0.10 AS DOUBLE) AS q, round(quantile_cont(n_tok, 0.10), 6) AS exact_quantile, TRUE AS within_rank_tol FROM tt GROUP BY source
+            UNION ALL SELECT source, 0.25, round(quantile_cont(n_tok, 0.25), 6), TRUE FROM tt GROUP BY source
+            UNION ALL SELECT source, 0.50, round(quantile_cont(n_tok, 0.50), 6), TRUE FROM tt GROUP BY source
+            UNION ALL SELECT source, 0.75, round(quantile_cont(n_tok, 0.75), 6), TRUE FROM tt GROUP BY source
+            UNION ALL SELECT source, 0.90, round(quantile_cont(n_tok, 0.90), 6), TRUE FROM tt GROUP BY source
+        """,
         # bottom-k md5 priorities == lexicographic order of the hex prefix:
         # the oracle re-derives the sample EXACTLY (full row/hash match)
         "bottomk_doc_sample": """
@@ -902,6 +914,28 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY substr(md5(doc_id::VARCHAR), 1, 16)
             ) <= 8
             ORDER BY source, priority_hex
+        """,
+        # Bloom-prefiltered joins finish with an exact join, so the digests
+        # equal the plain EXISTS / NOT EXISTS semi/anti definitions
+        "bloom_join_parity": """
+            WITH urgent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            ),
+            semi_set AS (
+                SELECT c_custkey FROM customer
+                WHERE c_custkey IN (SELECT o_custkey FROM urgent)
+            ),
+            anti_set AS (
+                SELECT c_custkey FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent)
+            )
+            SELECT
+                (SELECT count(*) FROM semi_set)::BIGINT AS semi_customers,
+                (SELECT coalesce(sum(c_custkey), 0) FROM semi_set)::BIGINT AS semi_key_sum,
+                (SELECT count(*) FROM anti_set)::BIGINT AS anti_customers,
+                (SELECT coalesce(sum(c_custkey), 0) FROM anti_set)::BIGINT AS anti_key_sum,
+                TRUE AS partition_complete
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

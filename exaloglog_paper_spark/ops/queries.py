@@ -1827,3 +1827,109 @@ def bottomk_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "priority_hex")
     )
+
+
+def kll_ntok_quantiles_by_source_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok quantiles over the token table via GROUPED KLL
+    sketch aggregation — the north rule's "n_tok quantiles over the
+    pre-tokenized table" as a distributed mergeable-UDAF query (the
+    nchars variants exercise the ungrouped path on documents).
+
+    Scale shape: one sketch_agg(by=source) — KB KLL states per
+    (partition x source) through the tree merge, one shuffle. The
+    verification computes every exact percentile AND every rank
+    |rank(est)/n - q| in ONE grouped agg over 5x5 conditional sums (a
+    single extra data pass, driver sees only 5 rows + 25 counters)."""
+    import numpy as np
+
+    from .agg import float_values, sketch_agg
+    from .specs import KLLSpec
+
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir).select(
+        "source", F.col("n_tok").cast("double").alias("v")
+    )
+    spec = KLLSpec(k=200)
+    states = {
+        r.source: spec.deserialize(bytes(r.sketch))
+        for r in sketch_agg(df, spec, float_values("v"), by=["source"]).collect()
+    }
+    qs = _QUANTILE_GRID
+    ests = {s: sk.quantile(np.array(qs)) for s, sk in states.items()}
+    agg_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(v, array({','.join(str(q) for q in qs)}))").alias("exacts"),
+    ]
+    for s, es in sorted(ests.items()):
+        for i, e in enumerate(es):
+            agg_cols.append(
+                F.sum(
+                    ((F.col("source") == s) & (F.col("v") <= float(e))).cast("long")
+                ).alias(f"le_{s}_{i}")
+            )
+    per_src = {r.source: r for r in df.groupBy("source").agg(*agg_cols).collect()}
+    data = []
+    for s in sorted(ests):
+        r = per_src[s]
+        n = max(int(r.n), 1)
+        for i, q in enumerate(qs):
+            data.append(
+                (
+                    s,
+                    q,
+                    round(float(r.exacts[i]), 6),
+                    bool(abs(int(r[f"le_{s}_{i}"]) / n - q) <= 0.05),
+                )
+            )
+    return spark.createDataFrame(
+        data, "source string, q double, exact_quantile double, within_rank_tol boolean"
+    )
+
+
+def bloom_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi AND anti join vs their exact definitions
+    (ops/joins.py): customers with / without an urgent order.
+
+    The output digests both result sets (count + key sum) so the DuckDB
+    oracle's EXISTS / NOT EXISTS recomputation hash-verifies exactness —
+    false positives must be weeded by the exact-finish stage, misses must
+    be kept (anti) / dropped (semi) soundly — plus the partition check
+    semi + anti == all customers. num_bits is deliberately small (2^16 for
+    ~10k build keys) so the false-positive path is genuinely exercised.
+
+    Scale shape: the build side collapses to ONE KB..MB filter state via
+    sketch_agg; the probe is a scan-side vectorized mapInArrow mark; only
+    filter hits reach a join (which then prunes to the distinct build
+    keys). At 10^12 probe rows the shuffle carries ~(match + fpr)
+    fraction instead of everything.
+    """
+    from .joins import bloom_anti_join, bloom_semi_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = bloom_semi_join(cust, urgent, "c_custkey", "o_custkey", num_bits=1 << 16)
+    anti = bloom_anti_join(cust, urgent, "c_custkey", "o_custkey", num_bits=1 << 16)
+    s = semi.agg(
+        F.count(F.lit(1)).alias("semi_customers"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("semi_key_sum"),
+    ).collect()[0]
+    a = anti.agg(
+        F.count(F.lit(1)).alias("anti_customers"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)).alias("anti_key_sum"),
+    ).collect()[0]
+    total = cust.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(s.semi_customers),
+                int(s.semi_key_sum),
+                int(a.anti_customers),
+                int(a.anti_key_sum),
+                bool(s.semi_customers + a.anti_customers == total),
+            )
+        ],
+        "semi_customers long, semi_key_sum long, anti_customers long, "
+        "anti_key_sum long, partition_complete boolean",
+    )
