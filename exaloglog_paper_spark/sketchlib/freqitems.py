@@ -79,14 +79,27 @@ class MisraGries:
             self.counts = self.counts[keep] - c
         return self
 
-    def add_ids(self, item_ids: np.ndarray) -> "MisraGries":
-        """Fold a batch of raw int64 item ids (weight 1 each)."""
+    def add_ids(
+        self, item_ids: np.ndarray, weights: np.ndarray | None = None
+    ) -> "MisraGries":
+        """Fold a batch of raw int64 item ids; ``weights`` (int64, > 0)
+        makes each id count that many times — byte-identical to folding
+        the expanded repeats in the same batch (the per-batch histogram
+        sums multiplicities either way), so pre-aggregated (id, count)
+        histograms are a lossless fast path."""
         item_ids = item_ids.astype(np.int64, copy=False)
-        self.n += len(item_ids)
         if len(item_ids) == 0:
             return self
-        vals, cnts = np.unique(item_ids, return_counts=True)
-        return self._combine(vals, cnts.astype(np.int64))
+        if weights is None:
+            self.n += len(item_ids)
+            vals, cnts = np.unique(item_ids, return_counts=True)
+            return self._combine(vals, cnts.astype(np.int64))
+        weights = weights.astype(np.int64, copy=False)
+        self.n += int(weights.sum())
+        vals, inv = np.unique(item_ids, return_inverse=True)
+        cnts = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(cnts, inv, weights)
+        return self._combine(vals, cnts)
 
     def merge_(self, other: "MisraGries") -> "MisraGries":
         self.n += other.n

@@ -209,3 +209,45 @@ def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
             continue  # superseded update in the memory sink
         true_c = exact[(r.key, r.item)]
         assert r.est <= true_c <= r.est + r.err_bound + 1e-9, (r.key, r.item)
+
+
+def test_property_bracket_under_random_chunking():
+    """Hypothesis: for arbitrary streams, capacities, and chunk layouts,
+    the merged Misra-Gries summary brackets every item's true count."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        k=st.integers(1, 40),
+        n=st.integers(0, 4000),
+        vocab=st.integers(1, 200),
+        n_chunks=st.integers(1, 9),
+    )
+    def run(seed, k, n, vocab, n_chunks):
+        rng = np.random.default_rng(seed)
+        stream = rng.integers(0, vocab, size=n).astype(np.int64)
+        parts = [
+            MisraGries(FreqItemsConfig(k)).add_ids(c)
+            for c in np.array_split(stream, n_chunks)
+        ]
+        acc = parts[0].merge_many_(parts[1:])
+        _assert_guarantee(acc, stream)
+
+    run()
+
+
+def test_weighted_add_equals_expanded_repeats():
+    """Folding (id, weight) histograms is byte-identical to folding the
+    expanded repeat stream batch-for-batch."""
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 300, size=500).astype(np.int64)
+    w = rng.integers(1, 9, size=500).astype(np.int64)
+    a = MisraGries(FreqItemsConfig(k=32))
+    b = MisraGries(FreqItemsConfig(k=32))
+    for lo in range(0, 500, 100):
+        a.add_ids(ids[lo : lo + 100], w[lo : lo + 100])
+        b.add_ids(np.repeat(ids[lo : lo + 100], w[lo : lo + 100]))
+    assert a.n == b.n
+    assert (a.ids == b.ids).all() and (a.counts == b.counts).all()
+    _assert_guarantee(a, np.repeat(ids, w))
