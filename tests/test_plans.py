@@ -274,3 +274,30 @@ def test_stable_sample_filter_is_scan_level(spark):
     assert "rand(" not in plan  # no RNG anywhere in the sampling plan
     # sampled-side plan: Filter directly over the file scan
     assert "Filter" in plan
+
+
+def test_bloom_probe_is_scan_side_no_shuffle(spark):
+    """The Bloom prefilter mark must be a pure map stage: scan ->
+    mapInArrow, no Exchange anywhere in the marked DataFrame's plan (the
+    100-TB property: only filter hits ever reach a join shuffle), and the
+    exact-finish semi join must broadcast the (small) distinct key side."""
+    from pyspark.sql import functions as F
+
+    from exaloglog_paper_spark.ops.joins import (
+        bloom_semi_join,
+        build_key_filter,
+        with_bloom_hit,
+    )
+
+    left = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_custkey")
+    right = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    fb, spec = build_key_filter(right, "o_custkey", num_bits=1 << 16)
+    marked = with_bloom_hit(left, "c_custkey", fb, spec)
+    plan = _plan(marked)
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan, "probe mark must not shuffle"
+    joined = bloom_semi_join(left, right, "c_custkey", "o_custkey", num_bits=1 << 16)
+    jplan = _plan(joined)
+    assert "BroadcastHashJoin" in jplan or "BroadcastExchange" in jplan
