@@ -251,3 +251,86 @@ def test_weighted_add_equals_expanded_repeats():
     assert a.n == b.n
     assert (a.ids == b.ids).all() and (a.counts == b.counts).all()
     _assert_guarantee(a, np.repeat(ids, w))
+
+
+def test_mg_through_salted_skew_path(spark):
+    """Misra-Gries under sketch_agg_salted (the hot-source skew
+    mitigation): per-group guarantee holds after the per-(group, salt)
+    build + tree merge."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import sketch_agg_salted
+
+    df = tok.token_table(spark, 1_500)
+    spec = MisraGriesSpec(k=96)
+    rows = sketch_agg_salted(
+        df, spec, token_array_ids("tokens"), by=["source"], salt_col="doc_id",
+        n_salts=8,
+    ).collect()
+    exact = {
+        (r.source, r.t): r.c
+        for r in df.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_by_src = {}
+    for (s, _t), c in exact.items():
+        n_by_src[s] = n_by_src.get(s, 0) + c
+    assert rows
+    for r in rows:
+        mg = spec.deserialize(bytes(r.sketch))
+        assert mg.n == n_by_src[r.source]
+        ids = np.array(
+            sorted(t for (s, t) in exact if s == r.source), dtype=np.int64
+        )
+        cnt = np.array([exact[(r.source, t)] for t in ids], dtype=np.int64)
+        est = mg.estimate(ids)
+        assert (est <= cnt).all()
+        assert (cnt - est <= mg.err_bound + 1e-9).all()
+
+
+def test_streaming_layer_is_spec_generic_theta(spark, tmp_path):
+    """streaming_distinct_sketch with the theta/KMV spec: the streaming
+    per-key state equals the batch sketch_agg state byte-for-byte (KMV
+    merges are exact), proving the stateful layer is spec-generic."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import sketch_agg, token_array_values
+    from exaloglog_paper_spark.ops.specs import ThetaSpec
+    from exaloglog_paper_spark.streaming.stateful import streaming_distinct_sketch
+
+    src = str(tmp_path / "theta_src")
+    tdf = tok.token_table(spark, 250, num_partitions=5)
+    tdf.write.parquet(src)
+
+    spec = ThetaSpec(k=512)
+    stream = (
+        spark.readStream.schema(tok.TOKEN_TABLE_SCHEMA)
+        .parquet(src)
+        .selectExpr("source AS key", "tokens")
+        .groupBy("key")
+    )
+    out = streaming_distinct_sketch(stream, spec)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_theta")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.key: r.estimate
+        for r in spark.sql(
+            "select key, estimate, n_values from ("
+            "  select *, row_number() over "
+            "  (partition by key order by n_values desc) rn from stream_theta"
+            ") where rn = 1"
+        ).collect()
+    }
+    batch = {
+        r.source: spec.finalize(spec.deserialize(bytes(r.sketch)))
+        for r in sketch_agg(
+            tdf, spec, token_array_values("tokens"), by=["source"]
+        ).collect()
+    }
+    assert got == batch
