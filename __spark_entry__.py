@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_ntok_quantiles_by_source_bound": Q.kll_ntok_quantiles_by_source_bound,
         "bottomk_doc_sample": Q.bottomk_doc_sample,
         "bloom_join_parity": Q.bloom_join_parity,
+        "tail_exact_ntok_quantiles": Q.tail_exact_ntok_quantiles,
         "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
     }
 
@@ -904,6 +905,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT source, 0.50, round(quantile_cont(n_tok, 0.50), 6), TRUE FROM tt GROUP BY source
             UNION ALL SELECT source, 0.75, round(quantile_cont(n_tok, 0.75), 6), TRUE FROM tt GROUP BY source
             UNION ALL SELECT source, 0.90, round(quantile_cont(n_tok, 0.90), 6), TRUE FROM tt GROUP BY source
+        """,
+        # exact order statistics (rank = ceil(q*n), DuckDB quantile_disc
+        # convention) — VALUES hash-compared, no bound flag
+        "tail_exact_ntok_quantiles": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            s AS (
+                SELECT n_tok,
+                       row_number() OVER (ORDER BY n_tok) AS rn,
+                       count(*) OVER () AS n
+                FROM tt
+            )
+            SELECT q, CAST(n_tok AS DOUBLE) AS ntok_exact
+            FROM s, (VALUES (0.0001), (0.001), (0.999), (0.9999), (1.0)) qs(q)
+            WHERE rn = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
         """,
         # bottom-k md5 priorities == lexicographic order of the hex prefix:
         # the oracle re-derives the sample EXACTLY (full row/hash match)

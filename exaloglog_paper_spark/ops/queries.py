@@ -1933,3 +1933,32 @@ def bloom_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semi_customers long, semi_key_sum long, anti_customers long, "
         "anti_key_sum long, partition_complete boolean",
     )
+
+
+def tail_exact_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT extreme quantiles of n_tok via the tail order-statistics
+    sketch (ops/specs.TailQuantileSpec): the m smallest + m largest values
+    survive the distributed build byte-identically (multiset-truncation
+    merge algebra), so q ∈ {0.0001, 0.001, 0.999, 0.9999, 1.0} are exact
+    order statistics, not estimates — the hash oracle compares VALUES, no
+    bound flag needed. This is the extreme-tail region where rank-error
+    sketches are weakest; the body is KLL's job
+    (kll_ntok_quantiles_by_source_bound).
+
+    Scale shape: standard sketch_agg — each partition contributes one
+    2*m-value state; at 10^12 rows with m=4096 the tails cover
+    q <= 4.1e-9 / q >= 1 - 4.1e-9 exactly with 64 KB states.
+    """
+    from .agg import float_values, sketch_agg
+    from .specs import TailQuantileSpec
+
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir).select(
+        F.col("n_tok").cast("double").alias("v")
+    )
+    spec = TailQuantileSpec(m=1024)
+    row = sketch_agg(df, spec, float_values("v")).collect()[0]
+    tq = spec.deserialize(bytes(row.sketch))
+    qs = [0.0001, 0.001, 0.999, 0.9999, 1.0]
+    data = [(q, float(tq.quantile_disc(q))) for q in qs]
+    return spark.createDataFrame(data, "q double, ntok_exact double")

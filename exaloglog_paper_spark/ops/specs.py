@@ -15,6 +15,7 @@ from ..sketchlib.bloom import BloomConfig, BloomFilter
 from ..sketchlib.countmin import CountMin, CountMinConfig
 from ..sketchlib.freqitems import FreqItemsConfig, MisraGries
 from ..sketchlib.kll import KLL, KLLConfig
+from ..sketchlib.tailquantile import TailQuantile, TailQuantileConfig
 from ..sketchlib.tdigest import TDigest, TDigestConfig
 from ..sketchlib import theta as theta_lib
 from .agg import Extractor, SketchSpec, sketch_agg
@@ -130,6 +131,35 @@ class TDigestSpec(SketchSpec):
 
     def finalize(self, state: TDigest) -> float:
         return float(state.quantile(0.5))
+
+
+class TailQuantileSpec(SketchSpec):
+    """Exact tail order statistics: state = the m smallest + m largest
+    values (sorted multisets) + exact n. EXACT quantiles within m ranks of
+    either end under byte-identical merges (sketchlib/tailquantile.py);
+    pair with KLL/t-digest for the body."""
+
+    def __init__(self, m: int = 4096):
+        self.cfg = TailQuantileConfig(m)
+        self.name = f"tailq_m{m}"
+
+    def empty(self) -> TailQuantile:
+        return TailQuantile(self.cfg)
+
+    def add(self, state: TailQuantile, values: np.ndarray) -> TailQuantile:
+        return state.add_values(values)
+
+    def merge(self, a: TailQuantile, b: TailQuantile) -> TailQuantile:
+        return a.merge_(b)
+
+    def serialize(self, state: TailQuantile) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> TailQuantile:
+        return TailQuantile.deserialize(self.cfg, data)
+
+    def finalize(self, state: TailQuantile) -> float:
+        return state.max
 
 
 class BloomSpec(SketchSpec):
