@@ -103,6 +103,8 @@ def main() -> None:
         [min, max]."""
         query_defs.append((name, fn, clear_cache))
 
+    pass_calibs: list = []
+
     def run_passes(reps: int = 3):
         for _ in range(reps):
             for name, fn, clear_cache in query_defs:
@@ -120,6 +122,9 @@ def main() -> None:
                 query_out[name] = out
                 if clear_cache:
                     spark.catalog.clearCache()
+            # one cheap single-thread probe per pass: endpoint-only
+            # calibration misses mid-suite co-tenant bursts
+            pass_calibs.append(calibrate_ns_per_element(reps=2))
 
     spec = ExaLogLogSpec(2, 20, 10)
     tokens_path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
@@ -243,9 +248,10 @@ def main() -> None:
     # ran on a throttled/contended box and its suite time under-reports the
     # engine (BENCH_r04's 26 s vs the re-measured 19.7 s).
     healthy_ns = 16.0
+    all_calibs = [calib_before, *pass_calibs, calib_after]
     throttled = (
-        max(calib_before, calib_after) > 1.3 * healthy_ns
-        or max(calib_before, calib_after) > 1.3 * min(calib_before, calib_after)
+        max(all_calibs) > 1.3 * healthy_ns
+        or max(all_calibs) > 1.3 * min(all_calibs)
     )
     print(
         json.dumps(
@@ -259,6 +265,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "calibration_ns_per_element": {
                     "before": calib_before,
+                    "per_pass": pass_calibs,
                     "after": calib_after,
                     "healthy_reference": healthy_ns,
                 },
