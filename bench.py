@@ -61,6 +61,37 @@ def calibrate_ns_per_element(n: int = 2_000_000, reps: int = 5) -> float:
     return round(best / n * 1e9, 1)
 
 
+def calibrate_parallel_ratio(workers: int = 8) -> dict:
+    """Multi-core throttle probe: run the same single-thread kernel in
+    ``workers`` concurrent subprocesses on distinct data and compare the
+    median per-worker rate to the solo rate. On a healthy box the kernels
+    sit on separate cores (ratio ~1.0-1.2, memory-bandwidth noise); a
+    hypervisor that caps AGGREGATE cpu — the failure mode single-thread
+    calibration cannot see, where wide Spark stages stall while solo
+    probes stay fast — pushes the median ratio well past 1.3."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        f"import sys; sys.path.insert(0, {here!r})\n"
+        "from bench import calibrate_ns_per_element\n"
+        "print(calibrate_ns_per_element(reps=2))\n"
+    )
+    single = calibrate_ns_per_element(reps=3)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+        for _ in range(workers)
+    ]
+    rates = sorted(float(p.communicate()[0].split()[-1]) for p in procs)
+    median = rates[len(rates) // 2]
+    return {
+        "single_ns": single,
+        "parallel_median_ns": median,
+        "parallel_worst_ns": rates[-1],
+        "ratio_median": round(median / single, 2),
+    }
+
+
 def materialize_token_table(spark, sf_name: str):
     # 4 splits per core so the pyarrow scan load-balances across stragglers
     path = f"/tmp/exaloglog_bench/{sf_name}/tokens.parquet"
@@ -75,6 +106,7 @@ def materialize_token_table(spark, sf_name: str):
 def main() -> None:
     sf_name = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
     calib_before = calibrate_ns_per_element()
+    par_before = calibrate_parallel_ratio()
     spark = get_spark(app_name=f"bench-{sf_name}", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     tdf = materialize_token_table(spark, sf_name)
@@ -247,11 +279,13 @@ def main() -> None:
     # calibration kernel is >1.3x that, or degrades >1.3x across the suite,
     # ran on a throttled/contended box and its suite time under-reports the
     # engine (BENCH_r04's 26 s vs the re-measured 19.7 s).
+    par_after = calibrate_parallel_ratio()
     healthy_ns = 16.0
     all_calibs = [calib_before, *pass_calibs, calib_after]
     throttled = (
         max(all_calibs) > 1.3 * healthy_ns
         or max(all_calibs) > 1.3 * min(all_calibs)
+        or max(par_before["ratio_median"], par_after["ratio_median"]) > 1.3
     )
     print(
         json.dumps(
@@ -268,6 +302,10 @@ def main() -> None:
                     "per_pass": pass_calibs,
                     "after": calib_after,
                     "healthy_reference": healthy_ns,
+                },
+                "parallel_calibration": {
+                    "before": par_before,
+                    "after": par_after,
                 },
                 "throttled_box": throttled,
                 **extras,
