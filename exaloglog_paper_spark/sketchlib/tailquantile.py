@@ -105,10 +105,14 @@ class TailQuantile:
 
     @property
     def min(self) -> float:
+        if len(self.lo) == 0:
+            raise OutOfTailError("empty sketch")
         return float(self.lo[0])
 
     @property
     def max(self) -> float:
+        if len(self.hi) == 0:
+            raise OutOfTailError("empty sketch")
         return float(self.hi[-1])
 
     # -- serialization -----------------------------------------------------

@@ -85,3 +85,11 @@ def test_partitioning_invariance_through_sketch_agg(spark):
     for q in (0.0001, 0.001, 0.999, 1.0):
         rank = max(1, min(tq.n, int(np.ceil(q * tq.n))))
         assert tq.quantile_disc(q) == exact[rank - 1]
+
+
+def test_empty_min_max_raise_out_of_tail():
+    tq = TailQuantile(TailQuantileConfig(m=4))
+    with pytest.raises(OutOfTailError):
+        _ = tq.min
+    with pytest.raises(OutOfTailError):
+        _ = tq.max
