@@ -266,6 +266,18 @@ def main() -> None:
     timed_min("text_quality_by_source", q_textq)
 
     run_passes(reps=3)
+    # Healing passes: if a co-tenant burst landed inside the suite (a
+    # per-pass calibration probe ran hot), the poisoned queries' minima can
+    # still recover — run up to 2 extra passes. Minima only improve; the
+    # throttle flag below sees every probe either way.
+    healing_passes = 0
+    healthy_ns = 16.0
+    while healing_passes < 2 and (
+        max(pass_calibs) > 1.3 * healthy_ns
+        or max(pass_calibs) > 1.3 * min([calib_before, *pass_calibs])
+    ):
+        run_passes(reps=1)
+        healing_passes += 1
     extras["tokens_per_sec"] = round(
         extras["total_tokens"] / timings["ell_global_build"], 1
     )
@@ -280,7 +292,6 @@ def main() -> None:
     # ran on a throttled/contended box and its suite time under-reports the
     # engine (BENCH_r04's 26 s vs the re-measured 19.7 s).
     par_after = calibrate_parallel_ratio()
-    healthy_ns = 16.0
     all_calibs = [calib_before, *pass_calibs, calib_after]
     throttled = (
         max(all_calibs) > 1.3 * healthy_ns
@@ -308,6 +319,7 @@ def main() -> None:
                     "after": par_after,
                 },
                 "throttled_box": throttled,
+                "healing_passes": healing_passes,
                 **extras,
             }
         )
