@@ -68,6 +68,13 @@ def main() -> None:
                          "so back-to-back levels bias against whichever runs "
                          "later (measured: identical 32-core reps degrade "
                          "41->78->101 s under sustained load)")
+    ap.add_argument("--no-interleave", action="store_true",
+                    help="run each level's reps back-to-back (one subprocess "
+                         "per level) instead of the default level-interleaved "
+                         "rounds. Interleaving exposes every level to the "
+                         "same co-tenant bursts so a burst during one level "
+                         "cannot skew efficiency directionally; it costs one "
+                         "JVM startup per (level x round).")
     args = ap.parse_args()
 
     path = f"/tmp/exaloglog_bench/{args.sf}/tokens.parquet"
@@ -83,11 +90,31 @@ def main() -> None:
         )
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = []
-    for i, c in enumerate(levels):
-        if i and args.cooldown:
-            time.sleep(args.cooldown)
-        results.append(run_level(c, path, args.reps))
+    if args.no_interleave:
+        results = []
+        for i, c in enumerate(levels):
+            if i and args.cooldown:
+                time.sleep(args.cooldown)
+            results.append(run_level(c, path, args.reps))
+    else:
+        # Level-interleaved rounds: (2, 8), (2, 8), ... — a co-tenant burst
+        # lands on BOTH levels of a round instead of poisoning one level's
+        # entire rep block, and per-level minima across rounds heal it.
+        acc: dict[int, dict] = {}
+        for rnd in range(args.reps):
+            for i, c in enumerate(levels):
+                if (rnd or i) and args.cooldown:
+                    time.sleep(args.cooldown)
+                r = run_level(c, path, 1)
+                if c not in acc:
+                    acc[c] = {"cpus": c, "times": [], "tokens": r["tokens"], "calib_ns": []}
+                acc[c]["times"].extend(r["times"])
+                acc[c]["calib_ns"].extend(r["calib_ns"])
+        results = []
+        for c in levels:
+            a = acc[c]
+            a["seconds"] = min(a["times"])
+            results.append(a)
     pairs = []
     for lo, hi in zip(results, results[1:]):
         speedup = lo["seconds"] / hi["seconds"]
