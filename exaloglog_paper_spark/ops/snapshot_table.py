@@ -247,6 +247,12 @@ def update_sketch_table_iceberg(
         merged = merge_state_tables(
             [spark.read.table(table_ident), inc], spec, by=by
         )
+        # Materialize BEFORE the write: the merged plan reads the very
+        # table it is about to replace, and Iceberg (correctly) rejects
+        # an overwrite whose scan is still wired to the target. The state
+        # table is KB-per-group, so an eager localCheckpoint is ~free and
+        # severs the self-reference.
+        merged = merged.localCheckpoint(eager=True)
         # one atomic Iceberg snapshot replacing the state rows (COW)
         merged.writeTo(table_ident).overwritePartitions()
     return spark.read.table(table_ident)
