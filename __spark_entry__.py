@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitter_tokens_bound": Q.mg_heavy_hitter_tokens_bound,
         "kll_ntok_quantiles_by_source_bound": Q.kll_ntok_quantiles_by_source_bound,
         "bottomk_doc_sample": Q.bottomk_doc_sample,
+        "priority_sample_docs_bound": Q.priority_sample_docs_bound,
         "bloom_join_parity": Q.bloom_join_parity,
         "tail_exact_ntok_quantiles": Q.tail_exact_ntok_quantiles,
         "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
@@ -929,6 +930,50 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY substr(md5(doc_id::VARCHAR), 1, 16)
             ) <= 8
             ORDER BY source, priority_hex
+        """,
+        # weighted priority sample (DLT 2007): priorities q = n_tok/u with
+        # key-pure u from md5 halves; every step is ONE IEEE double op so
+        # DuckDB reproduces the sample bit-exactly, the DLT w_hat = max(w,
+        # tau) estimates, AND the total estimator; within_bound asserts 5x
+        # Szegedy's sigma <= W/sqrt(k-1)
+        "priority_sample_docs_bound": f"""
+            WITH pr AS (
+                SELECT doc_id, n_tok,
+                       n_tok / GREATEST(
+                           ('0x' || substr(md5(doc_id), 1, 8))::UBIGINT
+                               / 4294967296.0
+                           + ('0x' || substr(md5(doc_id), 9, 8))::UBIGINT
+                               / 18446744073709551616.0,
+                           1.0 / 18446744073709551616.0) AS q
+                FROM read_parquet('{TOKENS_PQ}')
+            ),
+            ranked AS (
+                SELECT doc_id, n_tok, q,
+                       row_number() OVER (
+                           ORDER BY q DESC, substr(md5(doc_id), 1, 16) ASC
+                       ) AS rank
+                FROM pr
+            ),
+            tau AS (
+                SELECT coalesce(max(CASE WHEN rank = 17 THEN q END), 0.0) AS tau
+                FROM ranked
+            ),
+            samp AS (
+                SELECT rank, doc_id, n_tok,
+                       GREATEST(n_tok::DOUBLE, tau.tau) AS w_hat
+                FROM ranked, tau WHERE rank <= 16
+            ),
+            tot AS (SELECT sum(n_tok)::BIGINT AS exact_w FROM pr),
+            est AS (SELECT sum(w_hat) AS est_w FROM samp)
+            SELECT samp.rank::INT AS rank, samp.doc_id,
+                   samp.n_tok::INT AS n_tok,
+                   round(samp.w_hat, 6) AS w_hat,
+                   round(est.est_w, 6) AS est_total_tokens,
+                   tot.exact_w AS exact_total_tokens,
+                   abs(est.est_w - tot.exact_w)
+                       <= 5.0 * tot.exact_w / sqrt(15.0) AS within_bound
+            FROM samp, est, tot
+            ORDER BY rank
         """,
         # Bloom-prefiltered joins finish with an exact join, so the digests
         # equal the plain EXISTS / NOT EXISTS semi/anti definitions

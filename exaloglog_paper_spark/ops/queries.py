@@ -1829,6 +1829,68 @@ def bottomk_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_sample_docs_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sample (Duffield-Lund-Thorup, JACM 2007) of
+    documents ∝ n_tok from the token table, with the unbiased DLT
+    subset-sum estimate of the TOTAL token mass — the token-budget-aware
+    complement of the uniform ``bottomk_doc_sample`` (sample long
+    documents preferentially, then estimate any subset's token total from
+    the sample alone).
+
+    Cross-engine exact: the priority ``q = n_tok / u`` uses a key-pure
+    ``u = max(hi/2^32 + lo/2^64, 2^-64)`` from the first 16 hex chars of
+    md5(doc_id), and every arithmetic step is one IEEE-754 double op, so
+    numpy and DuckDB produce BIT-IDENTICAL priorities — the oracle
+    re-derives the sample row-for-row AND the estimator value, plus a
+    within_bound flag at 5x Szegedy's sigma <= W/sqrt(k-1) variance bound
+    (STOC 2006).
+
+    Scale shape: one sketch_agg pass (KB state: top-(k+1) (key, weight)
+    pairs, byte-identical merges under any partitioning —
+    sketchlib/prioritysample.py); payload recovery broadcasts the k
+    winning priorities back against the scan. No shuffle of data rows, no
+    driver-side data.
+    """
+    K = 16
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    dig = F.md5(F.col("doc_id"))
+    keyed = df.select(
+        "doc_id",
+        "n_tok",
+        F.conv(F.substring(dig, 1, 8), 16, 10).cast("long").alias("prio_hi"),
+        F.conv(F.substring(dig, 9, 8), 16, 10).cast("long").alias("prio_lo"),
+    )
+    from .specs import PrioritySampleSpec, keyed_weight_values
+
+    spec = PrioritySampleSpec(k=K)
+    row = sketch_agg(keyed, spec, keyed_weight_values("n_tok")).collect()[0]
+    ps = spec.deserialize(bytes(row.sketch))
+    skeys, _, w_hat = ps.sample()
+    est = ps.estimate_total()
+    within = bool(abs(est - ps.sum_w) <= 5.0 * ps.sigma_bound())
+    winners = spark.createDataFrame(
+        [
+            (i + 1, int(k) >> 32, int(k) & 0xFFFFFFFF, float(wh))
+            for i, (k, wh) in enumerate(zip(skeys, w_hat))
+        ],
+        "rank int, prio_hi long, prio_lo long, w_hat double",
+    )
+    return (
+        keyed.join(F.broadcast(winners), ["prio_hi", "prio_lo"], "inner")
+        .select(
+            "rank",
+            "doc_id",
+            "n_tok",
+            F.round("w_hat", 6).alias("w_hat"),
+            F.round(F.lit(est), 6).alias("est_total_tokens"),
+            F.lit(ps.sum_w).alias("exact_total_tokens"),
+            F.lit(within).alias("within_bound"),
+        )
+        .orderBy("rank")
+    )
+
+
 def kll_ntok_quantiles_by_source_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n_tok quantiles over the token table via GROUPED KLL
     sketch aggregation — the north rule's "n_tok quantiles over the

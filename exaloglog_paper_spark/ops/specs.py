@@ -15,6 +15,7 @@ from ..sketchlib.bloom import BloomConfig, BloomFilter
 from ..sketchlib.countmin import CountMin, CountMinConfig
 from ..sketchlib.freqitems import FreqItemsConfig, MisraGries
 from ..sketchlib.kll import KLL, KLLConfig
+from ..sketchlib.prioritysample import PrioritySample, PrioritySampleConfig
 from ..sketchlib.tailquantile import TailQuantile, TailQuantileConfig
 from ..sketchlib.tdigest import TDigest, TDigestConfig
 from ..sketchlib import theta as theta_lib
@@ -303,6 +304,56 @@ class BottomKSampleSpec(SketchSpec):
 
     def finalize(self, state: np.ndarray) -> float:
         return float(len(state))
+
+
+class PrioritySampleSpec(SketchSpec):
+    """Weighted priority sample (Duffield-Lund-Thorup): state = the
+    top-(k+1) (md5-prefix key, int64 weight) pairs by priority w/u plus
+    exact row/weight totals — byte-identical merges under any partitioning
+    (multiset truncation under a total order; sketchlib/prioritysample.py).
+    ``add`` consumes the structured (key, w) array from
+    ``keyed_weight_values``."""
+
+    def __init__(self, k: int = 64):
+        self.cfg = PrioritySampleConfig(k)
+        self.name = f"prioritysample_k{k}"
+
+    def empty(self) -> PrioritySample:
+        return PrioritySample(self.cfg)
+
+    def add(self, state: PrioritySample, values: np.ndarray) -> PrioritySample:
+        return state.add_pairs(values["key"], values["w"])
+
+    def merge(self, a: PrioritySample, b: PrioritySample) -> PrioritySample:
+        return a.merge_(b)
+
+    def serialize(self, state: PrioritySample) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> PrioritySample:
+        return PrioritySample.deserialize(self.cfg, data)
+
+    def finalize(self, state: PrioritySample) -> float:
+        return state.estimate_total()
+
+
+class keyed_weight_values(Extractor):
+    """Structured (key: u64 md5-prefix, w: int64) pairs for
+    PrioritySampleSpec, from two JVM-computed 32-bit priority halves (see
+    ``md5_priority_values``) plus a weight column. One entry per row."""
+
+    def __init__(self, w_col: str, hi_col: str = "prio_hi", lo_col: str = "prio_lo"):
+        self.w_col, self.hi_col, self.lo_col = w_col, hi_col, lo_col
+        self.input_cols = (hi_col, lo_col, w_col)
+
+    def __call__(self, batch):
+        hi = batch.column(self.hi_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch.column(self.lo_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch.column(self.w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(w), dtype=[("key", "<u8"), ("w", "<i8")])
+        out["key"] = (hi << np.uint64(32)) | lo
+        out["w"] = w
+        return out, None
 
 
 class token_array_ids(Extractor):
