@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_parity": Q.bloom_join_parity,
         "tail_exact_ntok_quantiles": Q.tail_exact_ntok_quantiles,
         "theta_set_ops_words_bound": Q.theta_set_ops_words_bound,
+        "countsketch_hh_tokens_bound": Q.countsketch_hh_tokens_bound,
+        "countsketch_f2_tokens_bound": Q.countsketch_f2_tokens_bound,
+        "join_size_estimate_bound": Q.join_size_estimate_bound,
     }
 
 
@@ -996,6 +999,34 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT count(*) FROM anti_set)::BIGINT AS anti_customers,
                 (SELECT coalesce(sum(c_custkey), 0) FROM anti_set)::BIGINT AS anti_key_sum,
                 TRUE AS partition_complete
+        """,
+        # count-sketch: unbiased two-sided heavy hitters; within_bound is
+        # 6 per-row sigma on a median-of-5 with the F2 term inflated by its
+        # own error bound — deterministic hashing makes the flag stable
+        "countsketch_hh_tokens_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}'))
+            SELECT t AS token, count(*) AS cnt, TRUE AS within_bound
+            FROM (SELECT unnest(tokens) AS t FROM tt)
+            GROUP BY t
+            ORDER BY cnt DESC, token ASC
+            LIMIT 10
+        """,
+        "countsketch_f2_tokens_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            freq AS (
+                SELECT t, count(*) AS cnt
+                FROM (SELECT unnest(tokens) AS t FROM tt) GROUP BY t
+            )
+            SELECT sum(cnt * cnt)::BIGINT AS f2_exact,
+                   TRUE AS within_bound
+            FROM freq
+        """,
+        # AMS inner-product join-size estimate: |est - J| <=
+        # 6*sqrt(2*F2_o*F2_c/width), both F2s sketch-estimated + inflated
+        "join_size_estimate_bound": """
+            SELECT count(*)::BIGINT AS join_size_exact,
+                   TRUE AS within_bound
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

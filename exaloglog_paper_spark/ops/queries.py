@@ -2024,3 +2024,134 @@ def tail_exact_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = [0.0001, 0.001, 0.999, 0.9999, 1.0]
     data = [(q, float(tq.quantile_disc(q))) for q in qs]
     return spark.createDataFrame(data, "q double, ntok_exact double")
+
+
+def countsketch_hh_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-sketch UNBIASED heavy hitters over the token table — the
+    two-sided complement of count-min (overcount-only) and Misra-Gries
+    (undercount bracket): |est(x) - true(x)| <= 6*sqrt(F2/width) per row,
+    boosted by the median over depth rows (Charikar-Chen-Farach-Colton
+    2002; sketchlib/countsketch.py). The bound is fully SKETCH-DERIVED:
+    F2 comes from the same state's AMS estimate, inflated by its own
+    relative-error bound, so no exact second pass feeds the flag — only
+    the exact top-10 counts the oracle needs anyway.
+
+    Scale shape: standard sketch_agg — one Arrow-batch partial per
+    partition (np.bincount rows, no per-row Python), a fixed
+    depth*width*8-byte LINEAR state through the tree merge (vector
+    addition — byte-identical under any partitioning, structurally), and
+    driver-side point queries on the single merged KB-scale state.
+    """
+    import numpy as np
+
+    from ..sketchlib.bitops import splitmix64
+    from .agg import sketch_agg, token_array_values
+    from .specs import CountSketchSpec
+
+    spec = CountSketchSpec(width=8192, depth=5)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    row = sketch_agg(df, spec, token_array_values("tokens")).collect()[0]
+    cs = spec.deserialize(bytes(row.sketch))
+    exact_top = (
+        df.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+    ).collect()
+    ids = np.array([r.token for r in exact_top], dtype=np.int64)
+    est = cs.query(splitmix64(ids.view(np.uint64)))
+    f2_ub = cs.f2() * (1.0 + spec.cfg.rel_f2_error_bound)
+    bound = 6.0 * float(np.sqrt(f2_ub / spec.cfg.width))
+    data = [
+        (int(r.token), int(r.cnt), bool(abs(float(e) - r.cnt) <= bound))
+        for r, e in zip(exact_top, est)
+    ]
+    return spark.createDataFrame(data, "token int, cnt long, within_bound boolean")
+
+
+def countsketch_f2_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment (self-join size) of the token-frequency
+    distribution — sum_x f(x)^2, the classic skew statistic
+    (Alon-Matias-Szegedy 1996): it prices every hash-partitioned token
+    shuffle (a pairwise-collision count) and is the quantity LSH bucket
+    caps and salting decisions key off. Estimated from the count-sketch
+    state's per-row sum of squared counters (median over rows), relative
+    error <= 6*sqrt(2/width) (CountSketchConfig.rel_f2_error_bound).
+
+    Scale shape: ONE pass, KB linear states, no explode — the exact
+    explode+groupBy F2 computed here for the flag is verification only
+    (the oracle recomputes it in DuckDB); the estimator itself never
+    shuffles a data-sized relation.
+    """
+    from .agg import sketch_agg, token_array_values
+    from .specs import CountSketchSpec
+
+    spec = CountSketchSpec(width=8192, depth=5)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    row = sketch_agg(df, spec, token_array_values("tokens")).collect()[0]
+    cs = spec.deserialize(bytes(row.sketch))
+    est = cs.f2()
+    f2_exact = (
+        df.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    ).collect()[0].f2
+    ok = abs(est / float(f2_exact) - 1.0) <= spec.cfg.rel_f2_error_bound
+    return spark.createDataFrame(
+        [(int(f2_exact), bool(ok))], "f2_exact long, within_bound boolean"
+    )
+
+
+def join_size_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation WITHOUT executing the join: the
+    inner product of two count sketches over orders.o_custkey and
+    customer.c_custkey is an unbiased estimate of
+    |orders JOIN customer ON custkey| = sum_k f_o(k)*f_c(k), with
+    |err| <= 6*sqrt(2*F2(orders)*F2(customer)/width) (AMS 1996; the
+    optimizer statistic classical engines keep for join planning). Both
+    F2 terms in the bound are the sketches' OWN estimates inflated by
+    their relative-error bound — the estimate+flag pipeline touches each
+    relation exactly once, map-side only; the exact join here feeds the
+    oracle's verification column, nothing else.
+
+    Scale shape: two independent single-pass sketch_aggs (KB linear
+    states, byte-identical under any partitioning), one driver-side dot
+    product. At 10^12 x 10^9 rows this estimates the join size with two
+    map-only passes and zero shuffle — the join itself would shuffle TBs.
+    """
+    import numpy as np
+
+    from .agg import hash64_values, sketch_agg
+    from .specs import CountSketchSpec
+    from ..sketchlib.countsketch import join_size_error_bound
+
+    spec = CountSketchSpec(width=16384, depth=5)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.xxhash64(F.col("o_custkey").cast("long")).alias("h")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.xxhash64(F.col("c_custkey").cast("long")).alias("h")
+    )
+    row_o = sketch_agg(orders, spec, hash64_values("h")).collect()[0]
+    row_c = sketch_agg(cust, spec, hash64_values("h")).collect()[0]
+    cs_o = spec.deserialize(bytes(row_o.sketch))
+    cs_c = spec.deserialize(bytes(row_c.sketch))
+    est = cs_o.inner_product(cs_c)
+    infl = 1.0 + spec.cfg.rel_f2_error_bound
+    bound = join_size_error_bound(spec.cfg, cs_o.f2() * infl, cs_c.f2() * infl)
+    join_exact = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            F.broadcast(spark.read.parquet(f"{sf_dir}/customer.parquet")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    ok = abs(est - float(join_exact)) <= bound
+    return spark.createDataFrame(
+        [(int(join_exact), bool(ok))], "join_size_exact long, within_bound boolean"
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from ..sketchlib.bitops import splitmix64
 from ..sketchlib.bloom import BloomConfig, BloomFilter
 from ..sketchlib.countmin import CountMin, CountMinConfig
+from ..sketchlib.countsketch import CountSketch, CountSketchConfig
 from ..sketchlib.freqitems import FreqItemsConfig, MisraGries
 from ..sketchlib.kll import KLL, KLLConfig
 from ..sketchlib.prioritysample import PrioritySample, PrioritySampleConfig
@@ -84,6 +85,47 @@ class CountMinSpec(SketchSpec):
         est = cm.query(splitmix64(cand.view(np.uint64)))
         order = np.lexsort((cand, -est))[:k]
         return [(int(cand[i]), int(est[i])) for i in order]
+
+
+class CountSketchSpec(SketchSpec):
+    """Count sketch / AMS (sketchlib/countsketch.py): LINEAR state — merge
+    is elementwise int64 addition, so byte-identity under any partitioning
+    is structural. ``add`` consumes pre-hashed 64-bit values (uint64);
+    finalize reports the AMS F2 (self-join size) estimate. Point-frequency
+    queries and cross-sketch ``inner_product`` (equi-join size) ride the
+    same state via ``deserialize``."""
+
+    def __init__(self, width: int = 8192, depth: int = 5):
+        self.cfg = CountSketchConfig(width, depth)
+        self.name = f"countsketch_w{width}_d{depth}"
+
+    def empty(self) -> CountSketch:
+        return CountSketch(self.cfg)
+
+    def add(self, state: CountSketch, values: np.ndarray) -> CountSketch:
+        return state.add_hashes(values)
+
+    def merge(self, a: CountSketch, b: CountSketch) -> CountSketch:
+        return a.merge_(b)
+
+    def merge_many(self, states):
+        states = list(states)
+        if not states:
+            return self.empty()
+        out = states[0]
+        if len(states) > 1:
+            # linearity: fold all tables in one numpy reduction
+            out.table += np.sum([s.table for s in states[1:]], axis=0)
+        return out
+
+    def serialize(self, state: CountSketch) -> bytes:
+        return state.serialize()
+
+    def deserialize(self, data: bytes) -> CountSketch:
+        return CountSketch.deserialize(self.cfg, data)
+
+    def finalize(self, state: CountSketch) -> float:
+        return state.f2()
 
 
 class KLLSpec(SketchSpec):
