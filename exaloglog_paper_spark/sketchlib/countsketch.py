@@ -26,12 +26,19 @@ companion under the same mergeable-UDAF protocol (BASELINE.json
 north_rule), complementing count-min (one-sided) and Misra-Gries
 (deterministic bracket) with unbiased two-sided estimates.
 
-Hashing: rows are decorrelated by per-row salts ``splitmix64(r+1)``; the
-per-item per-row value is ``v = splitmix64(h ^ salt_r)`` (full
-γ-multiplied stream form — see bitops.splitmix64 on why the bare finalizer
-is not enough). ``width`` must be a power of two: the bucket uses the LOW
-``log2(width)`` bits of ``v`` and the sign uses the TOP bit, so the two are
-disjoint bit ranges of one 64-bit hash.
+Hashing: double hashing (Kirsch-Mitzenmacher 2006, like countmin) —
+``v_r = h1 + r·h2`` with ``h1 = splitmix64(h)``, ``h2 = splitmix64(h ^
+SALT) | 1`` (full γ-multiplied stream form — see bitops.splitmix64 on why
+the bare finalizer is not enough): two hash evaluations total instead of
+``depth``, the per-row values are cheap uint64 FMAs. ``width`` must be a
+power of two: the bucket uses the LOW ``log2(width)`` bits of ``v_r`` and
+the sign uses the TOP bit — disjoint bit ranges of one 64-bit value.
+
+Hot path: the unweighted ``add_hashes`` folds row, bucket AND sign into
+ONE flat bincount index (``r·2w + sign·w + bucket``) so the whole batch is
+a single integer ``np.bincount`` — no float weights, no per-row Python
+loop (~6x over the naive per-row weighted-bincount form; see
+scripts/microbench.py countsketch_insert_ns_per_element).
 """
 
 from __future__ import annotations
@@ -68,15 +75,9 @@ class CountSketchConfig:
         return 6.0 * float(np.sqrt(2.0 / self.width))
 
 
-_ROW_SALT_CACHE: dict[int, np.ndarray] = {}
-
-
-def _row_salts(depth: int) -> np.ndarray:
-    out = _ROW_SALT_CACHE.get(depth)
-    if out is None:
-        out = splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
-        _ROW_SALT_CACHE[depth] = out
-    return out
+# decorrelates h2's input from h1's (any fixed 64-bit constant works;
+# this is splitmix64(1) precomputed)
+_H2_SALT = U64(0x6E789E6AA1B965F4)
 
 
 class CountSketch:
@@ -90,13 +91,25 @@ class CountSketch:
             else np.zeros((cfg.depth, cfg.width), dtype=np.int64)
         )
 
-    def _bucket_sign(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(depth, n) bucket columns and (depth, n) +/-1 signs."""
+    def _row_values(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) per-row 64-bit values v_r = h1 + r*h2."""
         h = as_u64(hashes)
-        salts = _row_salts(self.cfg.depth)
-        v = splitmix64(h[None, :] ^ salts[:, None])
-        bucket = (v & U64(self.cfg.width - 1)).astype(np.int64)
-        sign = np.where(v >> U64(63), np.int64(1), np.int64(-1))
+        with np.errstate(over="ignore"):
+            h1 = splitmix64(h)
+            h2 = splitmix64(h ^ _H2_SALT) | U64(1)
+            rows = np.arange(self.cfg.depth, dtype=np.uint64)[:, None]
+            return h1[None, :] + rows * h2[None, :]
+
+    def _bucket_sign(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(depth, n) bucket columns and (depth, n) +/-1 signs.
+
+        The sign bit is bit ``log2(width)`` of v (the bit just above the
+        bucket bits), so ``sign*width + bucket == v & (2*width - 1)`` — the
+        hot path below exploits that to index with a single mask."""
+        v = self._row_values(hashes)
+        w = U64(self.cfg.width)
+        bucket = (v & (w - U64(1))).astype(np.int64)
+        sign = np.where(v & w, np.int64(1), np.int64(-1))
         return bucket, sign
 
     def add_hashes(
@@ -104,15 +117,40 @@ class CountSketch:
     ) -> "CountSketch":
         if len(hashes) == 0:
             return self
-        bucket, sign = self._bucket_sign(hashes)
+        w2 = self.cfg.width * 2
         if counts is None:
-            w = sign.astype(np.float64)
+            # fold (row, sign, bucket) into one flat integer bincount cell
+            # r*2w + (v & (2w-1)) — a single integer pass, no float weights,
+            # built with in-place ops; chunked at 128k so the (depth, chunk)
+            # index block stays cache-resident (2x over one giant pass —
+            # invisible to the result, the fold is pure addition)
+            h = as_u64(hashes)
+            rows = np.arange(self.cfg.depth, dtype=np.uint64)[:, None]
+            row_off = rows * U64(w2)
+            for lo in range(0, len(h), 131072):
+                c = h[lo : lo + 131072]
+                with np.errstate(over="ignore"):
+                    h1 = splitmix64(c)
+                    h2 = splitmix64(c ^ _H2_SALT) | U64(1)
+                    idx = np.multiply(rows, h2[None, :])
+                    idx += h1[None, :]
+                idx &= U64(w2 - 1)
+                idx += row_off
+                flat = np.bincount(
+                    # values < depth*2w: the int64 view is exact
+                    idx.ravel().view(np.int64),
+                    minlength=self.cfg.depth * w2,
+                )
+                grid = flat.reshape(self.cfg.depth, 2, self.cfg.width)
+                self.table += grid[:, 1, :]
+                self.table -= grid[:, 0, :]
         else:
-            w = sign * counts[None, :].astype(np.float64)
-        for r in range(self.cfg.depth):
-            self.table[r] += np.bincount(
-                bucket[r], weights=w[r], minlength=self.cfg.width
-            ).astype(np.int64)
+            bucket, sign = self._bucket_sign(hashes)
+            wts = sign * counts[None, :].astype(np.float64)
+            for r in range(self.cfg.depth):
+                self.table[r] += np.bincount(
+                    bucket[r], weights=wts[r], minlength=self.cfg.width
+                ).astype(np.int64)
         return self
 
     def query(self, hashes: np.ndarray) -> np.ndarray:

@@ -119,6 +119,24 @@ def main() -> None:
         best_of(lambda: martingale_estimate_stream(hashes, t, d, p), reps=3)
         / n * 1e9, 1,
     )
+
+    # count-sketch (linear frequency-moment state): batch insert rate and
+    # the driver-side estimator costs (F2, inner product on merged states)
+    from exaloglog_paper_spark.sketchlib.countsketch import (
+        CountSketch,
+        CountSketchConfig,
+    )
+
+    cs_cfg = CountSketchConfig(width=8192, depth=5)
+    out["countsketch_insert_ns_per_element"] = round(
+        best_of(lambda: CountSketch(cs_cfg).add_hashes(rep), reps=3) / n * 1e9, 1
+    )
+    cs_a = CountSketch(cs_cfg).add_hashes(splitmix64_stream(4, 200_000))
+    cs_b = CountSketch(cs_cfg).add_hashes(splitmix64_stream(5, 200_000))
+    out["countsketch_f2_us"] = round(best_of(lambda: cs_a.f2(), reps=200) * 1e6, 1)
+    out["countsketch_inner_product_us"] = round(
+        best_of(lambda: cs_a.inner_product(cs_b), reps=200) * 1e6, 1
+    )
     print(json.dumps(out))
 
 
