@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_hh_tokens_bound": Q.countsketch_hh_tokens_bound,
         "countsketch_f2_tokens_bound": Q.countsketch_f2_tokens_bound,
         "join_size_estimate_bound": Q.join_size_estimate_bound,
+        "token_profile_by_source": Q.token_profile_by_source,
     }
 
 
@@ -1027,6 +1028,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS join_size_exact,
                    TRUE AS within_bound
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        # one-pass ANALYZE profile: exact columns hash-compared, the four
+        # sketch flags (ELL 5*RSE, F2, MG+CS heavy hitter, KLL rank tol)
+        # asserted TRUE
+        "token_profile_by_source": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            flat AS (SELECT source, unnest(tokens) AS t FROM tt),
+            freq AS (
+                SELECT source, t, count(*) AS cnt FROM flat GROUP BY source, t
+            ),
+            agg AS (
+                SELECT source, count(*) AS distinct_exact,
+                       sum(cnt * cnt)::BIGINT AS f2_exact
+                FROM freq GROUP BY source
+            ),
+            top AS (
+                SELECT source, t AS top_token, cnt AS top_cnt FROM (
+                    SELECT source, t, cnt, row_number() OVER (
+                        PARTITION BY source ORDER BY cnt DESC, t ASC) AS rn
+                    FROM freq
+                ) WHERE rn = 1
+            ),
+            base AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(len(tokens))::BIGINT AS n_tokens
+                FROM tt GROUP BY source
+            )
+            SELECT b.source, n_docs, n_tokens, distinct_exact,
+                   TRUE AS distinct_within_bound,
+                   f2_exact, TRUE AS f2_within_bound,
+                   top_token, top_cnt,
+                   TRUE AS hh_within_bounds,
+                   TRUE AS median_within_rank_tol
+            FROM base b
+            JOIN agg a ON b.source = a.source
+            JOIN top t ON b.source = t.source
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -2155,3 +2155,118 @@ def join_size_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(join_exact), bool(ok))], "join_size_exact long, within_bound boolean"
     )
+
+
+def token_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS multi-sketch table profile (ANALYZE-style optimizer
+    statistics; ops/profile.py): a single scan builds, per source,
+    ExaLogLog distinct-token cardinality, count-sketch F2 (the shuffle
+    skew statistic) + unbiased top-token frequency, the Misra-Gries
+    deterministic heavy-hitter bracket, and the KLL n_tok median — where
+    classical ANALYZE runs one pass per statistic family. Tokens are
+    flattened and splitmix-hashed ONCE per Arrow batch, shared by the ELL
+    and count-sketch updates.
+
+    Output per source: exact doc/token counts (hash-compared), exact
+    distinct/F2/top-token/median (verification columns) and the four
+    bound flags — ELL within 5*RSE, F2 within 6*sqrt(2/w), top token
+    inside BOTH the MG bracket and the count-sketch two-sided bound
+    (fully sketch-derived), median within 5% rank tolerance.
+
+    Scale shape: map-only pass + KB states per (partition, group) to the
+    driver fold (same contract as tree_merge's driver fold); every exact
+    quantity here is verification-only — the profile itself never
+    shuffles a data-sized relation.
+    """
+    import numpy as np
+
+    from ..sketchlib.bitops import splitmix64
+    from ..sketchlib.countsketch import CountSketchConfig
+    from .agg import ExaLogLogSpec
+    from .profile import profile_token_table
+
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    profs = profile_token_table(df)
+
+    ell_bound = 5 * ExaLogLogSpec(2, 20, 10).theoretical_rse()
+    cs_cfg = CountSketchConfig(8192, 5)
+
+    # exact verification stats in two grouped passes (driver sees 5 rows)
+    exploded = df.select("source", F.explode("tokens").alias("token"))
+    freq = exploded.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w_top = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    exact = (
+        freq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_exact"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"),
+        )
+        .join(
+            freq.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select(
+                "source",
+                F.col("token").alias("top_token"),
+                F.col("cnt").alias("top_cnt"),
+            ),
+            "source",
+        )
+    )
+    exact_rows = {r.source: r for r in exact.collect()}
+    med_ests = {s: float(p.kll.quantile(0.5)) for s, p in profs.items()}
+    med_cols = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            ((F.col("source") == s) & (F.col("n_tok") <= med_ests[s])).cast("long")
+        ).alias(f"le_{s}")
+        for s in sorted(med_ests)
+    ]
+    med_row = df.agg(*med_cols).collect()[0]
+    n_docs_total = {s: profs[s].n_docs for s in profs}
+
+    data = []
+    for s in sorted(profs):
+        p = profs[s]
+        r = exact_rows[s]
+        ell_ok = abs(p.ell.estimate() / r.distinct_exact - 1) <= ell_bound
+        f2_est = p.cs.f2()
+        f2_ok = abs(f2_est / float(r.f2_exact) - 1) <= cs_cfg.rel_f2_error_bound
+        tid = np.array([r.top_token], dtype=np.int64)
+        mg_est = int(p.mg.estimate(tid)[0])
+        cs_est = float(p.cs.query(splitmix64(tid.view(np.uint64)))[0])
+        cs_hh_bound = 6.0 * float(
+            np.sqrt(f2_est * (1.0 + cs_cfg.rel_f2_error_bound) / cs_cfg.width)
+        )
+        hh_ok = (
+            mg_est <= r.top_cnt <= mg_est + p.mg.err_bound
+            and abs(cs_est - r.top_cnt) <= cs_hh_bound
+        )
+        med_ok = (
+            abs(int(med_row[f"le_{s}"]) / max(n_docs_total[s], 1) - 0.5) <= 0.05
+        )
+        data.append(
+            (
+                s,
+                int(p.n_docs),
+                int(p.n_tokens),
+                int(r.distinct_exact),
+                bool(ell_ok),
+                int(r.f2_exact),
+                bool(f2_ok),
+                int(r.top_token),
+                int(r.top_cnt),
+                bool(hh_ok),
+                bool(med_ok),
+            )
+        )
+    return spark.createDataFrame(
+        data,
+        "source string, n_docs long, n_tokens long, distinct_exact long, "
+        "distinct_within_bound boolean, f2_exact long, f2_within_bound boolean, "
+        "top_token int, top_cnt long, hh_within_bounds boolean, "
+        "median_within_rank_tol boolean",
+    )

@@ -1,0 +1,54 @@
+"""One-pass multi-sketch profiler (ops/profile.py): the single-scan
+states must equal independent per-spec builds — byte-identical for the
+register/linear sketches (ELL, count-sketch: partitioning-invariant merge
+algebras), guarantee-level for the partitioning-dependent summaries
+(Misra-Gries bracket, KLL rank tolerance) — and the exact counters must
+be exact."""
+
+import numpy as np
+
+from exaloglog_paper_spark.ops import tokens as tok
+from exaloglog_paper_spark.ops.agg import ExaLogLogSpec
+from exaloglog_paper_spark.ops.profile import profile_token_table
+from exaloglog_paper_spark.ops.specs import CountSketchSpec
+from exaloglog_paper_spark.sketchlib.bitops import splitmix64
+
+
+def test_profile_matches_independent_builds(spark):
+    tdf = tok.token_table(spark, 400, num_partitions=7)
+    profs = profile_token_table(tdf)
+
+    rows = tdf.select("source", "tokens", "n_tok").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(profs) == set(by_src)
+
+    ell_spec = ExaLogLogSpec(2, 20, 10)
+    cs_spec = CountSketchSpec(8192, 5)
+    for s, rs in by_src.items():
+        p = profs[s]
+        flat = np.concatenate(
+            [np.asarray(r.tokens, dtype=np.int64) for r in rs]
+        )
+        h = splitmix64(flat.view(np.uint64))
+        # exact counters
+        assert p.n_docs == len(rs)
+        assert p.n_tokens == len(flat)
+        # partitioning-invariant states: byte-identical to a single build
+        assert ell_spec.serialize(p.ell) == ell_spec.serialize(
+            ell_spec.add(ell_spec.empty(), h)
+        )
+        assert cs_spec.serialize(p.cs) == cs_spec.serialize(
+            cs_spec.add(cs_spec.empty(), h)
+        )
+        # Misra-Gries: deterministic bracket vs exact counts
+        ids, cnt = np.unique(flat, return_counts=True)
+        est = p.mg.estimate(ids)
+        assert (est <= cnt).all()
+        assert (cnt - est <= p.mg.err_bound + 1e-9).all()
+        # KLL: saw every row; median within rank tolerance
+        assert p.kll.n == len(rs)
+        ntoks = np.array([r.n_tok for r in rs], dtype=np.float64)
+        med = float(p.kll.quantile(0.5))
+        assert abs((ntoks <= med).mean() - 0.5) <= 0.08
