@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_f2_tokens_bound": Q.countsketch_f2_tokens_bound,
         "join_size_estimate_bound": Q.join_size_estimate_bound,
         "token_profile_by_source": Q.token_profile_by_source,
+        "trigram_novelty_bound": Q.trigram_novelty_bound,
     }
 
 
@@ -1064,6 +1065,25 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             JOIN agg a ON b.source = a.source
             JOIN top t ON b.source = t.source
+        """,
+        # sequence-level novelty: sliding 3-token windows (never crossing
+        # row boundaries); distinct estimated by ELL within 5*RSE
+        "trigram_novelty_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            tri AS (
+                SELECT tokens[i] AS a, tokens[i + 1] AS b, tokens[i + 2] AS c
+                FROM tt, unnest(range(1, len(tokens) - 1)) AS r(i)
+                WHERE len(tokens) >= 3
+            ),
+            tot AS (
+                SELECT sum(greatest(len(tokens) - 2, 0))::BIGINT AS n FROM tt
+            )
+            SELECT (SELECT n FROM tot) AS total_trigrams,
+                   count(DISTINCT (a, b, c))::BIGINT AS distinct_trigrams_exact,
+                   round(count(DISTINCT (a, b, c)) /
+                         (SELECT n FROM tot)::DOUBLE, 6) AS novelty_ratio,
+                   TRUE AS within_bound
+            FROM tri
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -348,6 +348,45 @@ class token_array_values(Extractor):
         return values, lengths
 
 
+class token_trigram_values(Extractor):
+    """Sliding 3-token windows of an ``array<int32>`` column, hashed to 64
+    bits (order-sensitive chained splitmix64) — the sequence-level novelty
+    unit: distinct trigrams vs total trigrams measures corpus repetition
+    below the document level. Windows never cross row boundaries; rows
+    shorter than 3 tokens contribute nothing. All work is one flat pass
+    over the batch (no per-row Python)."""
+
+    def __init__(self, col: str):
+        self.col = col
+        self.input_cols = (col,)
+
+    def __call__(self, batch):
+        arr = batch.column(self.col)
+        if hasattr(arr, "combine_chunks"):
+            arr = arr.combine_chunks()
+        off_arr = arr.offsets
+        try:
+            offsets = off_arr.to_numpy().astype(np.int64, copy=False)
+        except Exception:
+            offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[offsets[0] : offsets[-1]]
+        lengths = np.diff(offsets)
+        h = splitmix64(flat.astype(np.int64, copy=False).view(np.uint64))
+        n = len(h)
+        if n < 3:
+            return np.empty(0, dtype=np.uint64), np.zeros_like(lengths)
+        # a window starting at flat position i is valid iff i+2 is still
+        # inside the same row: i + 2 < row_end(i)
+        rel_ends = np.repeat(np.cumsum(lengths), lengths)
+        idx = np.arange(n, dtype=np.int64)
+        s = idx[idx + 2 < rel_ends]
+        # order-sensitive chaining: mix the accumulator BEFORE each xor
+        # (a bare xor of the three would be symmetric under permutation)
+        tri = splitmix64(splitmix64(splitmix64(h[s]) ^ h[s + 1]) ^ h[s + 2])
+        return tri, np.maximum(lengths - 2, 0)
+
+
 class hash64_values(Extractor):
     """Column already holds 64-bit hashes (e.g. from JVM-side F.xxhash64 —
     keeps the hashing inside whole-stage codegen)."""

@@ -2270,3 +2270,56 @@ def token_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token int, top_cnt long, hh_within_bounds boolean, "
         "median_within_rank_tol boolean",
     )
+
+
+def trigram_novelty_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level novelty: distinct 3-token windows vs total windows
+    over the whole corpus — the sub-document repetition statistic a
+    memorization/contamination audit keys off (document-level dedup can't
+    see a corpus that repeats the same passages across distinct docs).
+    Distinct trigrams are estimated by ExaLogLog over the sliding-window
+    extractor (ops/agg.token_trigram_values: windows never cross row
+    boundaries, hashed order-sensitively in one flat pass per batch);
+    total windows is exact arithmetic (sum(max(n_tok-2, 0))).
+
+    Scale shape: ONE sketch_agg pass — the window expansion never
+    materializes as rows (a posexplode at 10^12 sequences would triple the
+    shuffle input; here trigram hashes exist only inside the Arrow batch),
+    KB states to the driver. The exact distinct count here feeds the
+    verification flag only; the oracle recomputes it in DuckDB.
+    """
+    from .agg import ExaLogLogSpec, sketch_agg, token_trigram_values
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    row = sketch_agg(df, spec, token_trigram_values("tokens")).collect()[0]
+    est = spec.finalize(spec.deserialize(bytes(row.sketch)))
+    total = int(row.n_values)
+
+    exact = (
+        df.filter(F.size("tokens") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tokens) - 3), i -> "
+                    "struct(tokens[i] AS a, tokens[i+1] AS b, tokens[i+2] AS c))"
+                )
+            ).alias("tri")
+        )
+        .agg(F.count_distinct("tri").alias("d"))
+    ).collect()[0].d
+    bound = 5 * spec.theoretical_rse()
+    ok = abs(est / float(exact) - 1.0) <= bound
+    return spark.createDataFrame(
+        [
+            (
+                int(total),
+                int(exact),
+                round(float(exact) / total, 6),
+                bool(ok),
+            )
+        ],
+        "total_trigrams long, distinct_trigrams_exact long, "
+        "novelty_ratio double, within_bound boolean",
+    )

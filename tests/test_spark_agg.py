@@ -503,3 +503,34 @@ def test_sliding_window_state_fanout_equals_direct_window_build(spark):
     }
     assert merged.keys() == direct_states.keys() and len(merged) > 10
     assert all(merged[w] == direct_states[w] for w in merged)
+
+
+def test_token_trigram_extractor_windows_and_order():
+    """Sliding 3-token windows: never cross row boundaries, short rows
+    contribute nothing, counts are exact, and the hash is order-sensitive
+    (permuted trigrams get different hashes)."""
+    import pyarrow as pa
+
+    from exaloglog_paper_spark.ops.agg import token_trigram_values
+
+    ex = token_trigram_values("tokens")
+    batch = pa.record_batch(
+        {
+            "tokens": pa.array(
+                [[1, 2, 3, 4], [5, 6], [], [7, 8, 9], [2, 1, 3]],
+                pa.list_(pa.int32()),
+            )
+        }
+    )
+    tri, lengths = ex(batch)
+    # rows contribute max(len-2, 0) windows: 2 + 0 + 0 + 1 + 1
+    assert list(lengths) == [2, 0, 0, 1, 1]
+    assert len(tri) == 4
+    # (1,2,3) vs (2,1,3): same multiset, different order -> different hash
+    assert tri[0] != tri[3]
+    # all four windows distinct here
+    assert len(np.unique(tri)) == 4
+    # batch-splitting invariance: same rows in two batches, same hashes
+    b1 = pa.record_batch({"tokens": pa.array([[1, 2, 3, 4]], pa.list_(pa.int32()))})
+    tri1, _ = ex(b1)
+    assert list(tri1) == list(tri[:2])
