@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_bound": Q.join_size_estimate_bound,
         "token_profile_by_source": Q.token_profile_by_source,
         "trigram_novelty_bound": Q.trigram_novelty_bound,
+        "f2_rollup_tokens_bound": Q.f2_rollup_tokens_bound,
     }
 
 
@@ -1084,6 +1085,35 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT n FROM tot)::DOUBLE, 6) AS novelty_ratio,
                    TRUE AS within_bound
             FROM tri
+        """,
+        # linear-state F2 rollup: grand total counts cross-source overlap
+        # ((sum of per-source counts)^2 per token), strictly more than the
+        # sum of per-source F2s
+        "f2_rollup_tokens_bound": f"""
+            WITH tt AS (SELECT * FROM read_parquet('{TOKENS_PQ}')),
+            flat AS (SELECT source, unnest(tokens) AS t FROM tt),
+            freq AS (
+                SELECT source, t, count(*) AS cnt FROM flat GROUP BY source, t
+            ),
+            per_src AS (
+                SELECT source, sum(cnt * cnt)::BIGINT AS f2
+                FROM freq GROUP BY source
+            ),
+            tot AS (
+                SELECT sum(c * c)::BIGINT AS f2 FROM (
+                    SELECT t, sum(cnt) AS c FROM freq GROUP BY t
+                )
+            ),
+            xs AS (
+                SELECT ((SELECT f2 FROM tot) >
+                        (SELECT sum(f2) FROM per_src)) AS x
+            )
+            SELECT source, 0 AS level, f2 AS f2_exact,
+                   TRUE AS within_bound, (SELECT x FROM xs)
+                       AS total_exceeds_sum_of_parts
+            FROM per_src
+            UNION ALL
+            SELECT NULL, 1, (SELECT f2 FROM tot), TRUE, (SELECT x FROM xs)
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -2323,3 +2323,62 @@ def trigram_novelty_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_trigrams long, distinct_trigrams_exact long, "
         "novelty_ratio double, within_bound boolean",
     )
+
+
+def f2_rollup_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-native F2 ROLLUP on the LINEAR count-sketch state: per-source
+    + grand-total second frequency moments from ONE pass — the coarser cell
+    is the vector SUM of the finer states, and because the state is linear
+    the merged sketch estimates the merged DISTRIBUTION's F2 exactly as if
+    built in one pass: grand-total F2 counts cross-source token overlap
+    (sum over tokens of (Σ_source cnt)²), which is strictly more than the
+    sum of per-source F2s — no rescan, no per-level recount.
+
+    Scale shape: identical to sketch_rollup_tokens — one fine-level
+    sketch_agg, KB states re-merged per level; every exact F2 below is
+    verification-only (oracle recomputes in DuckDB GROUP BY).
+    """
+    from .agg import sketch_agg, token_array_values
+    from .rollup import sketch_rollup
+    from .specs import CountSketchSpec
+
+    spec = CountSketchSpec(width=8192, depth=5)
+    tok.materialize_token_table(_sf_name(sf_dir))
+    df = tok.token_table_for_sf_dir(spark, sf_dir)
+    fine = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
+    levels = sketch_rollup(fine, spec, [("source",), ()]).collect()
+
+    freq = (
+        df.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_src = {
+        r.source: int(r.f2)
+        for r in freq.groupBy("source")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+        .collect()
+    }
+    total_f2 = int(
+        freq.groupBy("t")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()[0]
+        .f2
+    )
+    tol = spec.cfg.rel_f2_error_bound
+    data = []
+    for r in levels:
+        exact = total_f2 if r.level == 1 else per_src[r.source]
+        est = spec.finalize(spec.deserialize(bytes(r.sketch)))
+        data.append(
+            (r.source, int(r.level), int(exact), bool(abs(est / exact - 1) <= tol))
+        )
+    # the linearity dividend, asserted: total >= sum of parts requires
+    # cross-source overlap to be counted — pin it as a verified column
+    cross_terms_positive = total_f2 > sum(per_src.values())
+    return spark.createDataFrame(
+        [d + (bool(cross_terms_positive),) for d in data],
+        "source string, level int, f2_exact long, within_bound boolean, "
+        "total_exceeds_sum_of_parts boolean",
+    )
