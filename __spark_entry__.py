@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_profile_by_source": Q.token_profile_by_source,
         "trigram_novelty_bound": Q.trigram_novelty_bound,
         "f2_rollup_tokens_bound": Q.f2_rollup_tokens_bound,
+        "sliding_window_heavy_users_bound": Q.sliding_window_heavy_users_bound,
     }
 
 
@@ -1114,6 +1115,32 @@ def oracle_sql() -> dict[str, str]:
             FROM per_src
             UNION ALL
             SELECT NULL, 1, (SELECT f2 FROM tot), TRUE, (SELECT x FROM xs)
+        """,
+        # sliding-window Misra-Gries: the bracket is deterministic under
+        # the 24-state merge schedule (PODS 2012), so within_bracket is
+        # provably TRUE; exact top-3 per window hash-compared
+        "sliding_window_heavy_users_bound": """
+            WITH ev AS (
+                SELECT date_trunc('hour', ts) AS hour, user_id
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            fan AS (
+                SELECT hour - k * INTERVAL 1 HOUR AS window_start, user_id
+                FROM ev, range(0, 24) t(k)
+            ),
+            cnt AS (
+                SELECT window_start, user_id, count(*) AS cnt
+                FROM fan GROUP BY window_start, user_id
+            )
+            SELECT window_start, rank::INT AS rank, user_id, cnt,
+                   TRUE AS within_bracket
+            FROM (
+                SELECT window_start, user_id, cnt,
+                       row_number() OVER (
+                           PARTITION BY window_start
+                           ORDER BY cnt DESC, user_id ASC) AS rank
+                FROM cnt
+            ) WHERE rank <= 3
         """,
         # NOTE: every registered query above has a full hash-compared oracle
         # (33/33). Queries on synthetic tables (tokens/media) verify against

@@ -400,6 +400,23 @@ class hash64_values(Extractor):
         return vals.astype(np.int64, copy=False).view(np.uint64), None
 
 
+class id64_values(Extractor):
+    """Integer column passed through as RAW int64 ids (no hashing) — for
+    identifiable-item summaries (Misra-Gries, count-min candidates) whose
+    retained ids must round-trip to the caller. Do NOT feed these to
+    register sketches (they want uniform hashes); and keep the dtype
+    int64: mixing uint64 views into MG's int64 id arrays would silently
+    promote to float64 (see CLAUDE.md numpy notes)."""
+
+    def __init__(self, col: str):
+        self.col = col
+        self.input_cols = (col,)
+
+    def __call__(self, batch):
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        return vals.astype(np.int64, copy=False), None
+
+
 class int_values(Extractor):
     """Integer column hashed with splitmix64."""
 

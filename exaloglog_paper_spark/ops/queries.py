@@ -2382,3 +2382,91 @@ def f2_rollup_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, level int, f2_exact long, within_bound boolean, "
         "total_exceeds_sum_of_parts boolean",
     )
+
+
+def sliding_window_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour sliding windows (1-hour step) of heavy-hitter users over the
+    events table via per-hour Misra-Gries states — the frequency-family
+    twin of sliding_window_distinct_users_bound: raw events are summarized
+    ONCE into tumbling 1-hour MG states (one shuffle, KB per hour); each
+    window is a pure 24-state merge, and the PODS-2012 merge rule keeps
+    the deterministic bracket est <= true <= est + err under that schedule
+    too, so the flags below are provable, not probabilistic.
+
+    Output: per window, the EXACT top-3 users (hash-compared) + the flag
+    that the merged window summary brackets each exact count. At 10^12
+    events the row-explode alternative multiplies the shuffle by the
+    24x overlap factor; the state-fanout path shuffles 24 KB-rows per
+    hour regardless of event volume (exact side = verification only).
+    """
+    from .agg import id64_values, tree_merge
+    from .specs import MisraGriesSpec
+
+    spec = MisraGriesSpec(k=64)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "user_id",
+            F.xxhash64("user_id").alias("uid"),
+        )
+    )
+    hour_states = sketch_agg(ev, spec, id64_values("uid"), by=["hour"])
+    fanned = (
+        hour_states.select(
+            "hour", "sketch", "n_values", "build_secs",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"),
+        )
+        .select(
+            F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"),
+            "sketch",
+            "n_values",
+            F.col("k").cast("long").alias("partition_id"),
+            "build_secs",
+        )
+    )
+    window_states = {
+        r.window_start: spec.deserialize(bytes(r.sketch))
+        for r in tree_merge(
+            fanned, spec, by=["window_start"], num_partials=24
+        ).collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    exact_top = (
+        ev.select(
+            "user_id", "uid",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k"),
+            "hour",
+        )
+        .select(
+            F.expr("timestampadd(HOUR, -k, hour)").alias("window_start"),
+            "user_id",
+            "uid",
+        )
+        .groupBy("window_start", "user_id", "uid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+    ).collect()
+
+    import numpy as np
+
+    data = []
+    for r in exact_top:
+        mg = window_states[r.window_start]
+        est = int(mg.estimate(np.array([r.uid], dtype=np.int64))[0])
+        ok = est <= r.cnt <= est + mg.err_bound + 1e-9
+        data.append(
+            (r.window_start, int(r.rank), int(r.user_id), int(r.cnt), bool(ok))
+        )
+    return spark.createDataFrame(
+        data,
+        "window_start timestamp, rank int, user_id long, cnt long, "
+        "within_bracket boolean",
+    )
