@@ -215,6 +215,19 @@ def main() -> None:
         lambda: tdf.groupBy("source").agg(F.avg("n_tok"), F.expr("percentile(n_tok, 0.5)")).collect(),
     )
 
+    # one-pass ANALYZE profile (round 5): ELL + count-sketch + Misra-Gries
+    # + KLL per source from a single scan — compare against the SUM of the
+    # individual passes it replaces (ell_by_source + builtin quantile +
+    # separate frequency scans)
+    def q_profile():
+        from exaloglog_paper_spark.ops.profile import profile_token_table
+
+        profs = profile_token_table(tdf)
+        extras["profile_sources"] = len(profs)
+        return profs
+
+    timed_min("token_profile_onepass", q_profile)
+
     # training-data ops at sf scale (documents/embeddings tables)
     def q_minhash():
         from exaloglog_paper_spark.ops.queries import minhash_lsh_candidates
