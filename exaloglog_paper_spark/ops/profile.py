@@ -145,9 +145,16 @@ def profile_token_table(
         }
         yield pa.record_batch(cols)
 
-    rows = df.select(by, tokens_col, ntok_col).mapInArrow(
-        build, schema=_PROFILE_SCHEMA
-    ).collect()
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(by, tokens_col, ntok_col)
+        # NULL group keys would poison np.unique's object-array sort; a
+        # profile of the NULL group is meaningless anyway — drop explicitly
+        .filter(F.col(by).isNotNull())
+        .mapInArrow(build, schema=_PROFILE_SCHEMA)
+        .collect()
+    )
 
     out: dict[str, TokenProfile] = {}
     grouped: dict[str, list] = {}
