@@ -32,13 +32,14 @@ SALT) | 1`` (full γ-multiplied stream form — see bitops.splitmix64 on why
 the bare finalizer is not enough): two hash evaluations total instead of
 ``depth``, the per-row values are cheap uint64 FMAs. ``width`` must be a
 power of two: the bucket uses the LOW ``log2(width)`` bits of ``v_r`` and
-the sign uses the TOP bit — disjoint bit ranges of one 64-bit value.
+the sign uses the bit just above them — so ``sign·w + bucket`` is one
+mask, ``v & (2w - 1)``.
 
 Hot path: the unweighted ``add_hashes`` folds row, bucket AND sign into
-ONE flat bincount index (``r·2w + sign·w + bucket``) so the whole batch is
-a single integer ``np.bincount`` — no float weights, no per-row Python
-loop (~6x over the naive per-row weighted-bincount form; see
-scripts/microbench.py countsketch_insert_ns_per_element).
+ONE flat bincount index (``r·2w + (v & (2w-1))``) so the whole batch is
+a single integer ``np.bincount`` per 128k cache-resident chunk — no float
+weights, no per-row passes (~7x over the naive per-row weighted-bincount
+form, 215 -> 31 ns/element; see scripts/microbench.py).
 """
 
 from __future__ import annotations
@@ -162,15 +163,24 @@ class CountSketch:
         return np.median(ests, axis=0)
 
     def f2(self) -> float:
-        """AMS second-frequency-moment (self-join size) estimate."""
-        row_f2 = np.einsum("rw,rw->r", self.table, self.table).astype(np.float64)
-        return float(np.median(row_f2))
+        """AMS second-frequency-moment (self-join size) estimate.
+
+        Accumulates in float64: an int64 einsum would overflow once
+        sum(counter^2) exceeds 2^63 — reachable from ~10^10 inserts into
+        one row — and numpy wraps silently."""
+        t = self.table.astype(np.float64)
+        return float(np.median(np.einsum("rw,rw->r", t, t)))
 
     def inner_product(self, other: "CountSketch") -> float:
-        """Unbiased equi-join-size estimate sum_x fA(x)·fB(x)."""
+        """Unbiased equi-join-size estimate sum_x fA(x)·fB(x) (float64
+        accumulation, same overflow rationale as ``f2``)."""
         if other.cfg != self.cfg:
             raise ValueError("count-sketch configs differ")
-        row_dot = np.einsum("rw,rw->r", self.table, other.table).astype(np.float64)
+        row_dot = np.einsum(
+            "rw,rw->r",
+            self.table.astype(np.float64),
+            other.table.astype(np.float64),
+        )
         return float(np.median(row_dot))
 
     def merge_(self, other: "CountSketch") -> "CountSketch":

@@ -234,3 +234,17 @@ def test_hot_path_chunk_boundary_invisible():
         splitmix64(ids.view(np.uint64)), cnt.astype(np.int64)
     )
     assert np.array_equal(one.table, hist.table)
+
+
+def test_f2_and_inner_product_accumulate_in_float64():
+    """Counters big enough that an int64 sum of squares would wrap must
+    still produce positive, sane estimates (float64 accumulation)."""
+    cfg = CountSketchConfig(width=256, depth=3)
+    cs = CountSketch(cfg)
+    # plant counters whose squares sum past 2^63
+    cs.table[:, :64] = np.int64(2) ** 31
+    f2 = cs.f2()
+    assert f2 == 64 * float(2**31) ** 2  # exact in float64
+    assert f2 > 0
+    ip = cs.inner_product(cs)
+    assert ip == f2
