@@ -534,3 +534,42 @@ def test_token_trigram_extractor_windows_and_order():
     b1 = pa.record_batch({"tokens": pa.array([[1, 2, 3, 4]], pa.list_(pa.int32()))})
     tri1, _ = ex(b1)
     assert list(tri1) == list(tri[:2])
+
+
+def test_property_trigram_extractor_matches_reference():
+    """Hypothesis: for arbitrary ragged token tables the vectorized
+    window extraction equals a per-row Python reference — same hashes,
+    same per-row counts, any batch slicing."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from exaloglog_paper_spark.ops.agg import token_trigram_values
+    from exaloglog_paper_spark.sketchlib.bitops import splitmix64
+
+    def ref_hashes(rows):
+        out = []
+        for row in rows:
+            h = splitmix64(np.asarray(row, dtype=np.int64).view(np.uint64))
+            for i in range(max(len(row) - 2, 0)):
+                acc = splitmix64(np.array([h[i]], dtype=np.uint64))
+                acc = splitmix64(acc ^ h[i + 1])
+                acc = splitmix64(acc ^ h[i + 2])
+                out.append(int(acc[0]))
+        return out
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(
+            st.lists(st.integers(0, 2**31 - 1), min_size=0, max_size=12),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    def run(rows):
+        ex = token_trigram_values("tokens")
+        batch = pa.record_batch({"tokens": pa.array(rows, pa.list_(pa.int32()))})
+        tri, lengths = ex(batch)
+        assert list(lengths) == [max(len(r) - 2, 0) for r in rows]
+        assert [int(x) for x in tri] == ref_hashes(rows)
+
+    run()
