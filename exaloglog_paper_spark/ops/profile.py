@@ -76,25 +76,19 @@ def _flat_tokens(batch, col: str) -> tuple[np.ndarray, np.ndarray]:
     return flat.astype(np.int64, copy=False), np.diff(offsets)
 
 
-def profile_token_table(
+def profile_partials_df(
     df: DataFrame,
+    specs: tuple,
     *,
     by: str = "source",
     tokens_col: str = "tokens",
     ntok_col: str = "n_tok",
-    t: int = 2,
-    d: int = 20,
-    p: int = 10,
-    cs_width: int = 8192,
-    cs_depth: int = 5,
-    mg_k: int = 256,
-    kll_k: int = 200,
-) -> dict[str, TokenProfile]:
-    """One scan of ``df`` → per-``by``-group TokenProfile."""
-    ell_spec = ExaLogLogSpec(t, d, p)
-    cs_spec = CountSketchSpec(cs_width, cs_depth)
-    mg_spec = MisraGriesSpec(mg_k)
-    kll_spec = KLLSpec(kll_k)
+) -> DataFrame:
+    """The profiler's distributed stage as a DataFrame (one row per
+    (partition, group) with all four serialized states) — exposed so plan
+    properties (column pruning) are pinnable on the REAL plan and so
+    callers can sink partials instead of folding them."""
+    ell_spec, cs_spec, mg_spec, kll_spec = specs
 
     def build(batches):
         import pyarrow as pa
@@ -147,14 +141,41 @@ def profile_token_table(
 
     from pyspark.sql import functions as F
 
-    rows = (
+    return (
         df.select(by, tokens_col, ntok_col)
         # NULL group keys would poison np.unique's object-array sort; a
         # profile of the NULL group is meaningless anyway — drop explicitly
         .filter(F.col(by).isNotNull())
         .mapInArrow(build, schema=_PROFILE_SCHEMA)
-        .collect()
     )
+
+
+def profile_token_table(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    ntok_col: str = "n_tok",
+    t: int = 2,
+    d: int = 20,
+    p: int = 10,
+    cs_width: int = 8192,
+    cs_depth: int = 5,
+    mg_k: int = 256,
+    kll_k: int = 200,
+) -> dict[str, TokenProfile]:
+    """One scan of ``df`` → per-``by``-group TokenProfile."""
+    ell_spec = ExaLogLogSpec(t, d, p)
+    cs_spec = CountSketchSpec(cs_width, cs_depth)
+    mg_spec = MisraGriesSpec(mg_k)
+    kll_spec = KLLSpec(kll_k)
+    rows = profile_partials_df(
+        df,
+        (ell_spec, cs_spec, mg_spec, kll_spec),
+        by=by,
+        tokens_col=tokens_col,
+        ntok_col=ntok_col,
+    ).collect()
 
     out: dict[str, TokenProfile] = {}
     grouped: dict[str, list] = {}

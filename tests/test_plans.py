@@ -301,3 +301,30 @@ def test_bloom_probe_is_scan_side_no_shuffle(spark):
     joined = bloom_semi_join(left, right, "c_custkey", "o_custkey", num_bits=1 << 16)
     jplan = _plan(joined)
     assert "BroadcastHashJoin" in jplan or "BroadcastExchange" in jplan
+
+
+def test_profile_scan_prunes_to_input_columns(spark):
+    """The one-pass profiler must read only (source, tokens, n_tok) from
+    the parquet scan — doc_id is pruned even though the profiler consumes
+    whole Arrow batches (pinned on the REAL distributed stage via
+    profile_partials_df)."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import ExaLogLogSpec
+    from exaloglog_paper_spark.ops.profile import profile_partials_df
+    from exaloglog_paper_spark.ops.specs import (
+        CountSketchSpec,
+        KLLSpec,
+        MisraGriesSpec,
+    )
+
+    path = tok.materialize_token_table("sf0.001")
+    df = spark.read.parquet(path)
+    partials = profile_partials_df(
+        df,
+        (ExaLogLogSpec(2, 20, 8), CountSketchSpec(512, 3),
+         MisraGriesSpec(32), KLLSpec(100)),
+    )
+    plan = _plan(partials)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "tokens" in scan and "source" in scan and "n_tok" in scan
+    assert "doc_id" not in scan
