@@ -88,13 +88,36 @@ def profile_partials_df(
     (partition, group) with all four serialized states) — exposed so plan
     properties (column pruning) are pinnable on the REAL plan and so
     callers can sink partials instead of folding them."""
+    build = _make_builder(specs, by, tokens_col, ntok_col)
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(by, tokens_col, ntok_col)
+        # NULL group keys would poison np.unique's object-array sort; a
+        # profile of the NULL group is meaningless anyway — drop explicitly
+        # (the builder also drops them, for the pyarrow-scan path)
+        .filter(F.col(by).isNotNull())
+        .mapInArrow(build, schema=_PROFILE_SCHEMA)
+    )
+
+
+def _make_builder(specs, by: str, tokens_col: str, ntok_col: str):
+    """The profiler's per-task generator: an iterator of Arrow record
+    batches in, ONE summary batch of per-group serialized states out.
+    Shared by the Spark mapInArrow path and the pyarrow row-group-scan
+    path (checkpointed_profile)."""
     ell_spec, cs_spec, mg_spec, kll_spec = specs
 
     def build(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         states: dict[str, list] = {}  # g -> [ell, cs, mg, kll, docs, toks]
         for b in batches:
+            if b.column(by).null_count:
+                b = b.filter(pc.is_valid(b.column(by)))
+            if b.num_rows == 0:
+                continue
             flat, lengths = _flat_tokens(b, tokens_col)
             src = b.column(by).to_numpy(zero_copy_only=False)
             ntok = b.column(ntok_col).to_numpy(zero_copy_only=False)
@@ -139,15 +162,7 @@ def profile_partials_df(
         }
         yield pa.record_batch(cols)
 
-    from pyspark.sql import functions as F
-
-    return (
-        df.select(by, tokens_col, ntok_col)
-        # NULL group keys would poison np.unique's object-array sort; a
-        # profile of the NULL group is meaningless anyway — drop explicitly
-        .filter(F.col(by).isNotNull())
-        .mapInArrow(build, schema=_PROFILE_SCHEMA)
-    )
+    return build
 
 
 def profile_token_table(
@@ -177,6 +192,21 @@ def profile_token_table(
         ntok_col=ntok_col,
     ).collect()
 
+    return _fold_profiles(rows, (ell_spec, cs_spec, mg_spec, kll_spec))
+
+
+def _fold_profiles(rows, specs) -> dict[str, TokenProfile]:
+    """Driver fold of partial rows into per-group TokenProfiles.
+
+    Rows are sorted on a full deterministic key before folding so the
+    merged MG/KLL states (whose retained SETS depend on merge order) are
+    identical across reruns, resumes, and collect orderings; the
+    register/linear states are order-free anyway."""
+    ell_spec, cs_spec, mg_spec, kll_spec = specs
+    rows = sorted(
+        rows,
+        key=lambda r: (r.g, bytes(r.ell), bytes(r.cs), bytes(r.mg), bytes(r.kll)),
+    )
     out: dict[str, TokenProfile] = {}
     grouped: dict[str, list] = {}
     for r in rows:
@@ -196,3 +226,91 @@ def profile_token_table(
             ),
         )
     return out
+
+
+def checkpointed_profile(
+    spark,
+    path: str,
+    ckpt_dir: str,
+    *,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    ntok_col: str = "n_tok",
+    t: int = 2,
+    d: int = 20,
+    p: int = 10,
+    cs_width: int = 8192,
+    cs_depth: int = 5,
+    mg_k: int = 256,
+    kll_k: int = 200,
+    num_buckets: int = 8,
+) -> dict[str, TokenProfile]:
+    """Resumable one-pass ANALYZE over a parquet token table, riding the
+    same bucket-granular checkpoint design as
+    ``ops.checkpoints.checkpointed_sketch_agg``: row-group splits are
+    bucketed deterministically (``split_index % num_buckets``), each
+    completed bucket writes its per-(task, group) profile partials —
+    all four serialized states + sha256 digests per state — to
+    ``<ckpt_dir>/bucket=<i>/`` under a ``_SUCCESS`` marker, and a rerun
+    recomputes ONLY missing buckets. The final driver fold sorts partials
+    on a full deterministic key, so the resumed result is byte-identical
+    to an uninterrupted run for every state, including the merge-order-
+    dependent MG/KLL summaries. ``ops.checkpoints.lineage_metrics`` reads
+    the bucket dirs directly as the lineage/metrics table."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from .checkpoints import _bucket_dir, completed_buckets
+    from .source import batch_iterator, list_row_group_splits
+
+    specs = (
+        ExaLogLogSpec(t, d, p),
+        CountSketchSpec(cs_width, cs_depth),
+        MisraGriesSpec(mg_k),
+        KLLSpec(kll_k),
+    )
+    builder = _make_builder(specs, by, tokens_col, ntok_col)
+    splits = list_row_group_splits(path)
+    cols = [by, tokens_col, ntok_col]
+
+    done = set(completed_buckets(ckpt_dir, num_buckets))
+    for b in range(num_buckets):
+        if b in done:
+            continue
+        bucket_splits = [s for i, s in enumerate(splits) if i % num_buckets == b]
+        if not bucket_splits:
+            os.makedirs(_bucket_dir(ckpt_dir, b), exist_ok=True)
+            open(os.path.join(_bucket_dir(ckpt_dir, b), "_SUCCESS"), "w").close()
+            continue
+        par = min(len(bucket_splits), spark.sparkContext.defaultParallelism * 2)
+        sdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(bucket_splits, par),
+            "path string, row_group int",
+        )
+
+        def run(batches, _cols=tuple(cols)):
+            split_rows = []
+            for bt in batches:
+                for prow, grow in zip(
+                    bt.column("path").to_pylist(),
+                    bt.column("row_group").to_pylist(),
+                ):
+                    split_rows.append((prow, [grow]))
+            yield from builder(batch_iterator(split_rows, list(_cols)))
+
+        partials = sdf.mapInArrow(run, schema=_PROFILE_SCHEMA)
+        for col in ("ell", "cs", "mg", "kll"):
+            partials = partials.withColumn(
+                f"{col}_sha256", F.sha2(F.col(col), 256)
+            )
+        partials.write.mode("overwrite").parquet(_bucket_dir(ckpt_dir, b))
+
+    rows = (
+        spark.read.option("basePath", ckpt_dir)
+        .parquet(ckpt_dir + "/bucket=*")
+        .select("g", "ell", "cs", "mg", "kll", "n_docs", "n_tokens")
+        .collect()
+    )
+    return _fold_profiles(rows, specs)

@@ -43,18 +43,25 @@ def main() -> None:
     ap.add_argument("--quantiles", default="0.1,0.25,0.5,0.75,0.9")
     ap.add_argument("--output", default="",
                     help="optional parquet sink for the profile rows")
+    ap.add_argument("--checkpoint-dir", default="",
+                    help="bucket-granular resume: completed buckets are "
+                    "skipped on rerun; the bucket dirs double as the "
+                    "per-partition lineage/metrics table (parquet input "
+                    "only)")
+    ap.add_argument("--num-buckets", type=int, default=8)
     args = ap.parse_args()
 
     import numpy as np
 
-    from exaloglog_paper_spark.ops.profile import profile_token_table
+    from exaloglog_paper_spark.ops.profile import (
+        checkpointed_profile,
+        profile_token_table,
+    )
     from exaloglog_paper_spark.ops.source import read_tokens
     from exaloglog_paper_spark.sketchlib.bitops import splitmix64
 
     spark = SparkSession.builder.appName("token-profile").getOrCreate()
-    df = read_tokens(spark, args.input, fmt=args.format)
-    profs = profile_token_table(
-        df,
+    kwargs = dict(
         by=args.by,
         t=args.t,
         d=args.d,
@@ -62,6 +69,14 @@ def main() -> None:
         cs_width=args.cs_width,
         mg_k=args.mg_k,
     )
+    if args.checkpoint_dir:
+        profs = checkpointed_profile(
+            spark, args.input, args.checkpoint_dir,
+            num_buckets=args.num_buckets, **kwargs,
+        )
+    else:
+        df = read_tokens(spark, args.input, fmt=args.format)
+        profs = profile_token_table(df, **kwargs)
     qs = [float(q) for q in args.quantiles.split(",") if q]
 
     rows = []

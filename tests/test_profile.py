@@ -52,3 +52,49 @@ def test_profile_matches_independent_builds(spark):
         ntoks = np.array([r.n_tok for r in rs], dtype=np.float64)
         med = float(p.kll.quantile(0.5))
         assert abs((ntoks <= med).mean() - 0.5) <= 0.08
+
+
+def test_checkpointed_profile_resumes_byte_identically(spark, tmp_path):
+    """checkpointed_profile: uninterrupted vs crash-and-resume (one bucket
+    dir deleted) produce byte-identical states for ALL four sketches —
+    including the merge-order-dependent MG/KLL, thanks to the
+    deterministic sorted driver fold — and the register/linear states
+    match the direct one-pass build exactly."""
+    import shutil
+
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.checkpoints import lineage_metrics
+    from exaloglog_paper_spark.ops.profile import checkpointed_profile
+
+    src = str(tmp_path / "cp_tokens")
+    tok.token_table(spark, 300, num_partitions=6).write.parquet(src)
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+
+    full = checkpointed_profile(spark, src, ck1, num_buckets=4)
+    # lineage/metrics table is readable and carries the state digests
+    lm = lineage_metrics(spark, ck1)
+    assert lm.count() > 0
+    assert {"ell_sha256", "cs_sha256", "mg_sha256", "kll_sha256"} <= set(lm.columns)
+
+    # crash simulation: run, destroy one bucket, resume
+    checkpointed_profile(spark, src, ck2, num_buckets=4)
+    shutil.rmtree(str(tmp_path / "ck2" / "bucket=2"))
+    resumed = checkpointed_profile(spark, src, ck2, num_buckets=4)
+
+    ell_spec = ExaLogLogSpec(2, 20, 10)
+    cs_spec = CountSketchSpec(8192, 5)
+    profs_direct = profile_token_table(spark.read.parquet(src))
+    assert set(full) == set(resumed) == set(profs_direct)
+    for g in full:
+        a, b = full[g], resumed[g]
+        assert (a.n_docs, a.n_tokens) == (b.n_docs, b.n_tokens)
+        assert ell_spec.serialize(a.ell) == ell_spec.serialize(b.ell)
+        assert cs_spec.serialize(a.cs) == cs_spec.serialize(b.cs)
+        assert a.mg.serialize() == b.mg.serialize()
+        assert a.kll.serialize() == b.kll.serialize()
+        # partitioning-invariant states also equal the direct Spark build
+        d = profs_direct[g]
+        assert ell_spec.serialize(a.ell) == ell_spec.serialize(d.ell)
+        assert cs_spec.serialize(a.cs) == cs_spec.serialize(d.cs)
+        assert (d.n_docs, d.n_tokens) == (a.n_docs, a.n_tokens)
