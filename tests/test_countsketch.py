@@ -248,3 +248,28 @@ def test_f2_and_inner_product_accumulate_in_float64():
     assert f2 > 0
     ip = cs.inner_product(cs)
     assert ip == f2
+
+
+@pytest.mark.parametrize("overlap", [0.0, 0.3, 1.0])
+def test_inner_product_across_overlap_fractions(overlap):
+    """Join-size estimates stay within the AMS bound as the key overlap
+    between the two relations sweeps from disjoint (J=0) to full."""
+    cfg = CountSketchConfig(width=16384, depth=5)
+    rng = np.random.default_rng(int(overlap * 100) + 7)
+    n_keys = 4000
+    a_keys = np.arange(1, n_keys + 1, dtype=np.int64)
+    # B draws only from the overlapping prefix of A's key space (or a
+    # disjoint range when overlap == 0)
+    n_shared = int(n_keys * overlap)
+    if n_shared:
+        b_keys = rng.integers(1, n_shared + 1, size=80_000, dtype=np.int64)
+        join_exact = float(len(b_keys))
+    else:
+        b_keys = rng.integers(n_keys + 1, 2 * n_keys, size=80_000, dtype=np.int64)
+        join_exact = 0.0
+    cs_a = CountSketch(cfg).add_hashes(splitmix64(a_keys.view(np.uint64)))
+    cs_b = CountSketch(cfg).add_hashes(splitmix64(b_keys.view(np.uint64)))
+    _, cb = np.unique(b_keys, return_counts=True)
+    f2_b = float(np.sum(cb.astype(np.float64) ** 2))
+    bound = join_size_error_bound(cfg, float(n_keys), f2_b)
+    assert abs(cs_a.inner_product(cs_b) - join_exact) <= bound
