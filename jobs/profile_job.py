@@ -70,6 +70,12 @@ def main() -> None:
         mg_k=args.mg_k,
     )
     if args.checkpoint_dir:
+        if args.format == "iceberg":
+            raise SystemExit(
+                "--checkpoint-dir buckets parquet row-group splits and does "
+                "not support --format iceberg; run against the table's "
+                "parquet data dir, or drop --checkpoint-dir"
+            )
         profs = checkpointed_profile(
             spark, args.input, args.checkpoint_dir,
             num_buckets=args.num_buckets, **kwargs,
