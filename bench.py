@@ -220,9 +220,9 @@ def main() -> None:
     # individual passes it replaces (ell_by_source + builtin quantile +
     # separate frequency scans)
     def q_profile():
-        from exaloglog_paper_spark.ops.profile import profile_token_table
+        from exaloglog_paper_spark.ops.profile import scan_profile
 
-        profs = profile_token_table(tdf)
+        profs = scan_profile(spark, tokens_path)
         extras["profile_sources"] = len(profs)
         return profs
 

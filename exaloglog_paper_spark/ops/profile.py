@@ -314,3 +314,50 @@ def checkpointed_profile(
         .collect()
     )
     return _fold_profiles(rows, specs)
+
+
+def scan_profile(
+    spark,
+    path: str,
+    *,
+    by: str = "source",
+    tokens_col: str = "tokens",
+    ntok_col: str = "n_tok",
+    t: int = 2,
+    d: int = 20,
+    p: int = 10,
+    cs_width: int = 8192,
+    cs_depth: int = 5,
+    mg_k: int = 256,
+    kll_k: int = 200,
+) -> dict[str, TokenProfile]:
+    """``profile_token_table`` over the pyarrow-native row-group scan
+    (ops/source.splits_df + batch_iterator) — bypasses the JVM→Arrow
+    bridge for the ``array<int32>`` column exactly like
+    ``scan_sketch_agg`` does for single-sketch builds. Same result
+    contract: register/linear states byte-identical to the Spark-scan
+    build; MG/KLL guarantee-level (their retained sets are
+    partitioning-dependent)."""
+    from .source import batch_iterator, splits_df
+
+    specs = (
+        ExaLogLogSpec(t, d, p),
+        CountSketchSpec(cs_width, cs_depth),
+        MisraGriesSpec(mg_k),
+        KLLSpec(kll_k),
+    )
+    builder = _make_builder(specs, by, tokens_col, ntok_col)
+    cols = [by, tokens_col, ntok_col]
+    sdf = splits_df(spark, path)
+
+    def run(batches):
+        split_rows = []
+        for bt in batches:
+            for prow, grow in zip(
+                bt.column("path").to_pylist(), bt.column("row_group").to_pylist()
+            ):
+                split_rows.append((prow, [grow]))
+        yield from builder(batch_iterator(split_rows, cols))
+
+    rows = sdf.mapInArrow(run, schema=_PROFILE_SCHEMA).collect()
+    return _fold_profiles(rows, specs)

@@ -56,8 +56,9 @@ def main() -> None:
     from exaloglog_paper_spark.ops.profile import (
         checkpointed_profile,
         profile_token_table,
+        scan_profile,
     )
-    from exaloglog_paper_spark.ops.source import read_tokens
+    from exaloglog_paper_spark.ops.source import read_tokens, resolve_format
     from exaloglog_paper_spark.sketchlib.bitops import splitmix64
 
     spark = SparkSession.builder.appName("token-profile").getOrCreate()
@@ -69,19 +70,25 @@ def main() -> None:
         cs_width=args.cs_width,
         mg_k=args.mg_k,
     )
+    fmt = resolve_format(args.input, args.format)
     if args.checkpoint_dir:
-        if args.format == "iceberg":
+        if fmt != "parquet":
             raise SystemExit(
                 "--checkpoint-dir buckets parquet row-group splits and does "
-                "not support --format iceberg; run against the table's "
-                "parquet data dir, or drop --checkpoint-dir"
+                f"not support format={fmt}; run against the table's parquet "
+                "data dir, or drop --checkpoint-dir"
             )
         profs = checkpointed_profile(
             spark, args.input, args.checkpoint_dir,
             num_buckets=args.num_buckets, **kwargs,
         )
+    elif fmt == "parquet":
+        # pyarrow-native row-group scan: bypasses the JVM->Arrow bridge
+        # for the array<int32> column and scales 0.90 at 2->8 cores
+        # (BENCH/BASELINE.md)
+        profs = scan_profile(spark, args.input, **kwargs)
     else:
-        df = read_tokens(spark, args.input, fmt=args.format)
+        df = read_tokens(spark, args.input, fmt=fmt)
         profs = profile_token_table(df, **kwargs)
     qs = [float(q) for q in args.quantiles.split(",") if q]
 

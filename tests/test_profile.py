@@ -98,3 +98,24 @@ def test_checkpointed_profile_resumes_byte_identically(spark, tmp_path):
         assert ell_spec.serialize(a.ell) == ell_spec.serialize(d.ell)
         assert cs_spec.serialize(a.cs) == cs_spec.serialize(d.cs)
         assert (d.n_docs, d.n_tokens) == (a.n_docs, a.n_tokens)
+
+
+def test_scan_profile_matches_spark_scan_build(spark, tmp_path):
+    """The pyarrow-native scan path produces the same profile: exact
+    counters equal, register/linear states byte-identical (partitioning-
+    invariant), MG/KLL guarantee-level (spot: n equal)."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.profile import scan_profile
+
+    src = str(tmp_path / "scan_tokens")
+    tok.token_table(spark, 300, num_partitions=4).write.parquet(src)
+    a = profile_token_table(spark.read.parquet(src))
+    b = scan_profile(spark, src)
+    ell_spec = ExaLogLogSpec(2, 20, 10)
+    cs_spec = CountSketchSpec(8192, 5)
+    assert set(a) == set(b)
+    for g in a:
+        assert (a[g].n_docs, a[g].n_tokens) == (b[g].n_docs, b[g].n_tokens)
+        assert ell_spec.serialize(a[g].ell) == ell_spec.serialize(b[g].ell)
+        assert cs_spec.serialize(a[g].cs) == cs_spec.serialize(b[g].cs)
+        assert a[g].kll.n == b[g].kll.n
