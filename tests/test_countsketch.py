@@ -273,3 +273,28 @@ def test_inner_product_across_overlap_fractions(overlap):
     f2_b = float(np.sum(cb.astype(np.float64) ** 2))
     bound = join_size_error_bound(cfg, float(n_keys), f2_b)
     assert abs(cs_a.inner_product(cs_b) - join_exact) <= bound
+
+
+def test_countsketch_through_salted_skew_path(spark):
+    """Count-sketch under sketch_agg_salted (the hot-source skew
+    mitigation): linearity makes the salted per-(group, salt) build +
+    tree merge byte-identical to the direct grouped build."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import sketch_agg_salted, token_array_values
+
+    df = tok.token_table(spark, 800)
+    spec = CountSketchSpec(width=512, depth=3)
+    salted = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg_salted(
+            df, spec, token_array_values("tokens"), by=["source"],
+            salt_col="doc_id", n_salts=8,
+        ).collect()
+    }
+    direct = {
+        r.source: bytes(r.sketch)
+        for r in sketch_agg(
+            df, spec, token_array_values("tokens"), by=["source"]
+        ).collect()
+    }
+    assert salted == direct
