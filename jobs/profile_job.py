@@ -102,25 +102,28 @@ def main() -> None:
         if len(ids):
             est = p.cs.query(splitmix64(ids.astype(np.int64).view(np.uint64)))
             order = np.argsort(-est, kind="stable")[: args.top_k]
-            top = [
-                {"token": int(ids[i]), "est_count": float(est[i])}
-                for i in order
-            ]
+            top = [(int(ids[i]), float(est[i])) for i in order]
         else:
             top = []
-        quants = {f"q{q}": float(p.kll.quantile(q)) for q in qs}
+        quants = {f"q{q:g}": float(p.kll.quantile(q)) for q in qs}
         rows.append(
-            {
-                "group": g,
-                "n_docs": p.n_docs,
-                "n_tokens": p.n_tokens,
-                "distinct_tokens_est": float(p.ell.estimate()),
-                "f2_est": float(p.cs.f2()),
-                "top_tokens": str(top),
-                "ntok_quantiles": str(quants),
-            }
+            (
+                g,
+                int(p.n_docs),
+                int(p.n_tokens),
+                float(p.ell.estimate()),
+                float(p.cs.f2()),
+                top,
+                quants,
+            )
         )
-    out = spark.createDataFrame(rows)
+    out = spark.createDataFrame(
+        rows,
+        "group string, n_docs long, n_tokens long, "
+        "distinct_tokens_est double, f2_est double, "
+        "top_tokens array<struct<token:int, est_count:double>>, "
+        "ntok_quantiles map<string, double>",
+    )
     out.show(truncate=False)
     if args.output:
         out.coalesce(1).write.mode("overwrite").parquet(args.output)
