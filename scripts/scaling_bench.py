@@ -26,28 +26,38 @@ from bench import calibrate_ns_per_element
 from exaloglog_paper_spark.session import get_spark
 from exaloglog_paper_spark.ops.agg import ExaLogLogSpec, token_array_values, with_estimate
 from exaloglog_paper_spark.ops.source import scan_sketch_agg
+from exaloglog_paper_spark.ops.profile import scan_profile
 calib_before = calibrate_ns_per_element()
 spark = get_spark(app_name="scaling-{cpus}", shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
 path = {path!r}
-spec = ExaLogLogSpec(2, 20, 10)
-# warm: page cache + python workers + codegen
-scan_sketch_agg(spark, path, ExaLogLogSpec(2, 20, 6), token_array_values("tokens")).collect()
+job = {job!r}
+if job == "build":
+    spec = ExaLogLogSpec(2, 20, 10)
+    # warm: page cache + python workers + codegen
+    scan_sketch_agg(spark, path, ExaLogLogSpec(2, 20, 6), token_array_values("tokens")).collect()
+    def run_once():
+        row = scan_sketch_agg(spark, path, spec, token_array_values("tokens")).collect()[0]
+        return row.n_values
+else:  # profile: the one-pass ANALYZE over the pyarrow scan
+    scan_profile(spark, path, mg_k=64)  # warm
+    def run_once():
+        profs = scan_profile(spark, path)
+        return sum(p.n_tokens for p in profs.values())
 times = []
 n_tokens = 0
 for _ in range({reps}):
     t0 = time.monotonic()
-    row = scan_sketch_agg(spark, path, spec, token_array_values("tokens")).collect()[0]
+    n_tokens = run_once()
     dt = time.monotonic() - t0
-    n_tokens = row.n_values
     times.append(dt)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "seconds": min(times), "times": times, "tokens": n_tokens, "calib_ns": [calib_before, calibrate_ns_per_element()]}}))
 spark.stop()
 """
 
 
-def run_level(cpus: int, path: str, reps: int) -> dict:
-    code = RUNNER.format(repo=REPO, cpus=cpus, path=path, reps=reps)
+def run_level(cpus: int, path: str, reps: int, job: str = "build") -> dict:
+    code = RUNNER.format(repo=REPO, cpus=cpus, path=path, reps=reps, job=job)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -68,6 +78,10 @@ def main() -> None:
                          "so back-to-back levels bias against whichever runs "
                          "later (measured: identical 32-core reps degrade "
                          "41->78->101 s under sustained load)")
+    ap.add_argument("--job", default="build", choices=["build", "profile"],
+                    help="which job to scale: the headline sketch build "
+                         "(default) or the one-pass ANALYZE profile "
+                         "(scan_profile)")
     ap.add_argument("--no-interleave", action="store_true",
                     help="run each level's reps back-to-back (one subprocess "
                          "per level) instead of the default level-interleaved "
@@ -95,7 +109,7 @@ def main() -> None:
         for i, c in enumerate(levels):
             if i and args.cooldown:
                 time.sleep(args.cooldown)
-            results.append(run_level(c, path, args.reps))
+            results.append(run_level(c, path, args.reps, args.job))
     else:
         # Level-interleaved rounds: (2, 8), (2, 8), ... — a co-tenant burst
         # lands on BOTH levels of a round instead of poisoning one level's
@@ -105,7 +119,7 @@ def main() -> None:
             for i, c in enumerate(levels):
                 if (rnd or i) and args.cooldown:
                     time.sleep(args.cooldown)
-                r = run_level(c, path, 1)
+                r = run_level(c, path, 1, args.job)
                 if c not in acc:
                     acc[c] = {"cpus": c, "times": [], "tokens": r["tokens"], "calib_ns": []}
                 acc[c]["times"].extend(r["times"])
@@ -130,6 +144,7 @@ def main() -> None:
         )
     report = {
         "metric": "scaling_efficiency",
+        "job": args.job,
         "sf": args.sf,
         "tokens": results[-1]["tokens"],
         "levels": [
@@ -168,7 +183,7 @@ def _update_bench_md(report: dict) -> None:
     )
     section = f"""
 
-## Run {report['timestamp']} — {report['sf']} ({report['tokens']:,} tokens), levels {[r['cpus'] for r in report['levels']]}
+## Run {report['timestamp']} — job={report.get('job', 'build')}, {report['sf']} ({report['tokens']:,} tokens), levels {[r['cpus'] for r in report['levels']]}
 
 | parallelism | wall time (min of reps) | spread | throughput | calib ns/el [pre, post] |
 |---|---|---|---|---|
