@@ -125,24 +125,38 @@ def _make_builder(specs, by: str, tokens_col: str, ntok_col: str):
             codes, inv = np.unique(src, return_inverse=True)
             flat_inv = np.repeat(inv, lengths)
             hashed = splitmix64(flat.view(np.uint64))
+            # group dispatch by STABLE sort, not per-group masks: masks are
+            # O(groups * n) per batch — quadratic-ish for high-cardinality
+            # ``by`` — while two sorts give contiguous per-group segments
+            # in O(n log n). Stable sort preserves each group's original
+            # token order, so every state (incl. the order-dependent
+            # MG/KLL) is byte-identical to the mask formulation.
+            row_order = np.argsort(inv, kind="stable")
+            tok_order = np.argsort(flat_inv, kind="stable")
+            row_ends = np.cumsum(np.bincount(inv, minlength=len(codes)))
+            tok_ends = np.cumsum(np.bincount(flat_inv, minlength=len(codes)))
+            ntok_sorted = ntok[row_order].astype(np.float64)
+            flat_sorted = flat[tok_order]
+            hashed_sorted = hashed[tok_order]
+            r_lo = t_lo = 0
             for gi, g in enumerate(codes):
+                r_hi, t_hi = int(row_ends[gi]), int(tok_ends[gi])
                 st = states.get(g)
                 if st is None:
                     st = states[g] = [
                         ell_spec.empty(), cs_spec.empty(),
                         mg_spec.empty(), kll_spec.empty(), 0, 0,
                     ]
-                rows = inv == gi
-                tok_mask = flat_inv == gi
-                h = hashed[tok_mask]
+                h = hashed_sorted[t_lo:t_hi]
                 # hash once, share: ELL and count-sketch both take the
                 # splitmix64 stream; MG wants raw ids for identifiability
                 st[0] = ell_spec.add(st[0], h)
                 st[1] = cs_spec.add(st[1], h)
-                st[2] = mg_spec.add(st[2], flat[tok_mask])
-                st[3] = kll_spec.add(st[3], ntok[rows].astype(np.float64))
-                st[4] += int(rows.sum())
-                st[5] += int(tok_mask.sum())
+                st[2] = mg_spec.add(st[2], flat_sorted[t_lo:t_hi])
+                st[3] = kll_spec.add(st[3], ntok_sorted[r_lo:r_hi])
+                st[4] += r_hi - r_lo
+                st[5] += t_hi - t_lo
+                r_lo, t_lo = r_hi, t_hi
         cols = {
             "g": pa.array([str(g) for g in states], pa.string()),
             "ell": pa.array(

@@ -119,3 +119,20 @@ def test_scan_profile_matches_spark_scan_build(spark, tmp_path):
         assert ell_spec.serialize(a[g].ell) == ell_spec.serialize(b[g].ell)
         assert cs_spec.serialize(a[g].cs) == cs_spec.serialize(b[g].cs)
         assert a[g].kll.n == b[g].kll.n
+
+
+def test_profile_high_cardinality_group_key(spark):
+    """Group dispatch must stay correct when ``by`` has many groups per
+    batch (the sort-based dispatch path): per-doc profile of 120 docs."""
+    from exaloglog_paper_spark.ops import tokens as tok
+
+    tdf = tok.token_table(spark, 120, num_partitions=2)
+    profs = profile_token_table(tdf, by="doc_id", mg_k=16, kll_k=50)
+    rows = tdf.select("doc_id", "tokens", "n_tok").collect()
+    assert set(profs) == {r.doc_id for r in rows}
+    for r in rows:
+        p = profs[r.doc_id]
+        assert p.n_docs == 1
+        assert p.n_tokens == len(r.tokens)
+        exact_distinct = len(set(r.tokens))
+        assert abs(p.ell.estimate() / max(exact_distinct, 1) - 1) < 0.15
