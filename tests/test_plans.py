@@ -328,3 +328,22 @@ def test_profile_scan_prunes_to_input_columns(spark):
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "tokens" in scan and "source" in scan and "n_tok" in scan
     assert "doc_id" not in scan
+
+
+def test_trigram_estimate_plan_has_no_explode(spark):
+    """The trigram-novelty ESTIMATE path must not contain a Generate
+    (explode) node: windows are hashed inside the Arrow batch, never
+    materialized as rows (the exact verification side explodes, the
+    estimator must not)."""
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        sketch_agg,
+        token_trigram_values,
+    )
+
+    path = tok.materialize_token_table("sf0.001")
+    df = spark.read.parquet(path)
+    out = sketch_agg(df, ExaLogLogSpec(2, 20, 8), token_trigram_values("tokens"))
+    plan = _plan(out)
+    assert "Generate" not in plan and "explode" not in plan.lower()
