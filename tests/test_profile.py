@@ -136,3 +136,28 @@ def test_profile_high_cardinality_group_key(spark):
         assert p.n_tokens == len(r.tokens)
         exact_distinct = len(set(r.tokens))
         assert abs(p.ell.estimate() / max(exact_distinct, 1) - 1) < 0.15
+
+
+def test_profile_empty_and_all_null_group_inputs(spark, tmp_path):
+    """Profiles of empty tables and tables whose group keys are all NULL
+    are {} — no crashes in the builder or the fold."""
+    from pyspark.sql import functions as F
+
+    from exaloglog_paper_spark.ops import tokens as tok
+    from exaloglog_paper_spark.ops.profile import scan_profile
+
+    empty = tok.token_table(spark, 5, num_partitions=2).filter(F.lit(False))
+    assert profile_token_table(empty) == {}
+    src = str(tmp_path / "empty_tokens")
+    empty.write.parquet(src)
+    # an empty write produces zero part files; the pyarrow scan raises the
+    # engine-wide informative error rather than silently profiling nothing
+    # (same contract as scan_sketch_agg / splits_df)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        scan_profile(spark, src)
+    nullsrc = tok.token_table(spark, 10).withColumn(
+        "source", F.lit(None).cast("string")
+    )
+    assert profile_token_table(nullsrc) == {}
