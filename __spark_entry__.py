@@ -1143,7 +1143,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         # NOTE: every registered query above has a full hash-compared oracle
-        # (33/33). Queries on synthetic tables (tokens/media) verify against
+        # (61/61). Queries on synthetic tables (tokens/media) verify against
         # materialized parquet twins in /tmp; simhash_near_duplicates has a
         # real DuckDB twin because its bits are md5-nibble-derived (see
         # _simhash_oracle_sql / ops/dedup._simhash_chunk_cols).
