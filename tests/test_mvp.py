@@ -69,3 +69,37 @@ def test_hll_mvp_matches_published_and_worse_than_ell(spark):
     # (theoretical mvp ratio 3.673/6.449 = 0.57; 10k-cycle noise ~2%)
     ell = empirical_mvp(spark, 2, 20, 8, n=1_000_000.0, num_cycles=10_000, seed=3)
     assert ell["mvp"] < 0.65 * r["mvp"], (ell["mvp"], r["mvp"])
+
+
+def test_ultraloglog_point_of_the_kernel_matches_published(spark):
+    """UltraLogLog IS the (t=0, d=2) point of the generalized kernel
+    (Ertl's unified parametrization: q=6 exponent bits, d=2 history bits,
+    base 2 — mvp.txt row 'q=6, d=2, b=2'): at p=10 the state is the
+    published 1024 bytes, the THEORETICAL ML MVP reproduces the published
+    constant to every digit, and the EMPIRICAL MVP matches the paper's
+    'Hash4j UltraLogLog (p = 10)' comparison row (4.639, rmse 0.02380) —
+    completing the paper's 4-way empirical-MVP table (ELL(2,20,8) 3.691 /
+    ELL(2,24,8) 3.787 / HLL11 6.459 / ULL10 4.639) with no separate
+    UltraLogLog implementation needed."""
+    from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLogConfig
+
+    cfg = ExaLogLogConfig(0, 2, 10)
+    assert cfg.state_num_bytes == 1024
+    assert cfg.state_num_bytes * 8 * cfg.theoretical_rse_ml() ** 2 == pytest.approx(
+        4.63128908504886, rel=1e-12  # results/constants/mvp.txt q=6,d=2 row
+    )
+    r = empirical_mvp(spark, 0, 2, 10, n=1_000_000.0, num_cycles=10_000, seed=3)
+    assert r["state_bytes"] == 1024
+    assert r["mvp"] == pytest.approx(4.639, rel=0.05), r
+    assert r["rmse"] == pytest.approx(0.02380, rel=0.05), r
+
+
+def test_intermediate_history_constant_pinned():
+    """The q=6, d=1 row of mvp.txt (the 7-bit-register point between HLL
+    and UltraLogLog) — theoretical ML MVP to every digit."""
+    from exaloglog_paper_spark.sketchlib.exaloglog import ExaLogLogConfig
+
+    cfg = ExaLogLogConfig(0, 1, 10)
+    assert cfg.state_num_bytes * 8 * cfg.theoretical_rse_ml() ** 2 == pytest.approx(
+        5.190435218372929, rel=1e-12
+    )
