@@ -506,3 +506,55 @@ def test_exaloglog_spec_serialize_batch_matches_per_state():
     out = sp.serialize_batch(sp_states)
     assert out == [sp.serialize(s) for s in sp_states]
     assert {o[:1] for o in out} == {b"\x00", b"\x01"}  # both modes exercised
+
+
+def test_constants_full_table_scatter_parity():
+    """Scattered cells across the reference's FULL triangular 59x59
+    constants tables (results/constants/*.txt — far corners, deep-t rows,
+    the asymptotic limits), pinned to every published digit. The complete
+    7,080-cell sweep of all four tables is scripts/run_constants_parity.py
+    (verified 7,080/7,080 OK at 1e-11); these inline pins keep a
+    cross-section of that parity in CI without reading the reference."""
+    from exaloglog_paper_spark.sketchlib.constants import ml_compressed_mvp
+
+    bias = [
+        (0, 58, 0.307931060646552),
+        (1, 30, 0.1539907344294835),
+        (3, 12, 0.38020418350915014),
+        (7, 7, 0.962903501746639),
+        (20, 5, 0.9999966948232366),
+        (40, 2, 0.9999999999987391),
+        (58, 0, 1.0),
+    ]
+    for t, d, v in bias:
+        assert ml_bias_correction(t, d) == pytest.approx(v, rel=1e-11), (t, d)
+    rse = [
+        (0, 58, 0.649140167172004),
+        (1, 30, 0.4590361267015964),
+        (3, 12, 0.619190380253428),
+        (7, 7, 0.9812790517276843),
+        (20, 5, 0.9999983474102891),
+        (40, 2, 0.9999999999993696),
+        (58, 0, 1.0),
+    ]
+    for t, d, v in rse:
+        assert ml_rse_constant(t, d) == pytest.approx(v, rel=1e-11), (t, d)
+    mart = [
+        (0, 58, 0.5887050112577373),
+        (1, 30, 0.4162926401095917),
+        (3, 12, 0.4610322149371896),
+        (7, 7, 0.6948430202951492),
+        (20, 5, 0.7071057294852039),
+        (40, 2, 0.7071067811862132),
+        (58, 0, 0.7071067811865476),  # = sqrt(ln 2) asymptote
+    ]
+    for t, d, v in mart:
+        assert martingale_rse_constant(t, d) == pytest.approx(v, rel=1e-11), (t, d)
+    cmvp = [
+        (0, 58, 1.9801646175510048),
+        (3, 12, 4.449752279882992),
+        (20, 5, 22.804202822742408),
+        (58, 0, 60.804207591110725),
+    ]
+    for t, d, v in cmvp:
+        assert ml_compressed_mvp(t, d) == pytest.approx(v, rel=1e-11), (t, d)
