@@ -320,6 +320,29 @@ class Extractor:
         raise NotImplementedError
 
 
+def flat_list_values(batch, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, per-row lengths) of an ``array<int32>`` column.
+
+    THE child-array access pattern — offsets are never null so the
+    zero-copy view applies; the ``zero_copy_only=False`` form routes the
+    child array through a pathological conversion (~58 ms per batch
+    measured for 1.5k offsets!) and is kept only as the fallback for
+    exotic layouts. Single definition: token_array_values,
+    token_trigram_values, and ops.profile all call this so the fallback
+    and slicing logic cannot drift."""
+    arr = batch.column(col)
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    off_arr = arr.offsets
+    try:
+        offsets = off_arr.to_numpy().astype(np.int64, copy=False)
+    except Exception:
+        offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    flat = flat[offsets[0] : offsets[-1]]  # respect any slicing
+    return flat.astype(np.int64, copy=False), np.diff(offsets)
+
+
 class token_array_values(Extractor):
     """Flatten an ``array<int32>`` column zero-copy and hash every token to
     64 bits with splitmix64 (the primary tokens:array<int32> path)."""
@@ -329,23 +352,8 @@ class token_array_values(Extractor):
         self.input_cols = (col,)
 
     def __call__(self, batch):
-        arr = batch.column(self.col)
-        if hasattr(arr, "combine_chunks"):
-            arr = arr.combine_chunks()
-        off_arr = arr.offsets
-        try:
-            # offsets are never null: zero-copy view. The zero_copy_only=False
-            # form routes this child array through a pathological conversion
-            # (~58 ms per batch measured for 1.5k offsets!) — keep it only as
-            # the fallback for exotic layouts.
-            offsets = off_arr.to_numpy().astype(np.int64, copy=False)
-        except Exception:
-            offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        flat = flat[offsets[0] : offsets[-1]]  # respect any slicing
-        lengths = np.diff(offsets)
-        values = splitmix64(flat.astype(np.int64, copy=False).view(np.uint64))
-        return values, lengths
+        flat, lengths = flat_list_values(batch, self.col)
+        return splitmix64(flat.view(np.uint64)), lengths
 
 
 class token_trigram_values(Extractor):
@@ -361,18 +369,8 @@ class token_trigram_values(Extractor):
         self.input_cols = (col,)
 
     def __call__(self, batch):
-        arr = batch.column(self.col)
-        if hasattr(arr, "combine_chunks"):
-            arr = arr.combine_chunks()
-        off_arr = arr.offsets
-        try:
-            offsets = off_arr.to_numpy().astype(np.int64, copy=False)
-        except Exception:
-            offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = arr.values.to_numpy(zero_copy_only=False)
-        flat = flat[offsets[0] : offsets[-1]]
-        lengths = np.diff(offsets)
-        h = splitmix64(flat.astype(np.int64, copy=False).view(np.uint64))
+        flat, lengths = flat_list_values(batch, self.col)
+        h = splitmix64(flat.view(np.uint64))
         n = len(h)
         if n < 3:
             return np.empty(0, dtype=np.uint64), np.zeros_like(lengths)

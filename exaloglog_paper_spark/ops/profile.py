@@ -60,20 +60,7 @@ class TokenProfile:
     kll: KLL
 
 
-def _flat_tokens(batch, col: str) -> tuple[np.ndarray, np.ndarray]:
-    """(flat int64 token ids, per-row lengths) — the zero-copy child-array
-    access pattern of agg.token_array_values."""
-    arr = batch.column(col)
-    if hasattr(arr, "combine_chunks"):
-        arr = arr.combine_chunks()
-    off_arr = arr.offsets
-    try:
-        offsets = off_arr.to_numpy().astype(np.int64, copy=False)
-    except Exception:
-        offsets = off_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = arr.values.to_numpy(zero_copy_only=False)
-    flat = flat[offsets[0] : offsets[-1]]
-    return flat.astype(np.int64, copy=False), np.diff(offsets)
+from .agg import flat_list_values as _flat_tokens  # single definition in agg
 
 
 def profile_partials_df(
@@ -287,6 +274,11 @@ def checkpointed_profile(
     )
     builder = _make_builder(specs, by, tokens_col, ntok_col)
     splits = list_row_group_splits(path)
+    if not splits:
+        # match scan_profile/splits_df's contract: the engine-standard
+        # informative error, not a downstream 'Unable to infer schema'
+        # from reading 8 marker-only bucket dirs
+        raise FileNotFoundError(f"no parquet files under {path}")
     cols = [by, tokens_col, ntok_col]
 
     done = set(completed_buckets(ckpt_dir, num_buckets))

@@ -2192,11 +2192,14 @@ def token_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ell_bound = 5 * ExaLogLogSpec(2, 20, 10).theoretical_rse()
     cs_cfg = CountSketchConfig(8192, 5)
 
-    # exact verification stats in two grouped passes (driver sees 5 rows)
+    # exact verification stats in two grouped passes (driver sees 5 rows);
+    # freq feeds both the distinct/F2 agg and the top-1 rank branch —
+    # persist the small (source, token, cnt) intermediate (CLAUDE.md: no
+    # ReusedExchange across aliases)
     exploded = df.select("source", F.explode("tokens").alias("token"))
     freq = exploded.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()
     from pyspark.sql.window import Window
 
     w_top = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
@@ -2218,8 +2221,9 @@ def token_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact_rows = {r.source: r for r in exact.collect()}
+    freq.unpersist()
     med_ests = {s: float(p.kll.quantile(0.5)) for s, p in profs.items()}
-    med_cols = [F.count(F.lit(1)).alias("n")] + [
+    med_cols = [
         F.sum(
             ((F.col("source") == s) & (F.col("n_tok") <= med_ests[s])).cast("long")
         ).alias(f"le_{s}")
@@ -2231,9 +2235,18 @@ def token_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = []
     for s in sorted(profs):
         p = profs[s]
-        r = exact_rows[s]
-        ell_ok = abs(p.ell.estimate() / r.distinct_exact - 1) <= ell_bound
+        r = exact_rows.get(s)
         f2_est = p.cs.f2()
+        if r is None:
+            # a group whose docs all have EMPTY token arrays: the exact
+            # side (derived from explode) has no row — emit the degenerate
+            # profile with provable flags instead of crashing
+            data.append(
+                (s, int(p.n_docs), 0, 0, bool(p.ell.estimate() == 0.0),
+                 0, bool(f2_est == 0.0), -1, 0, True, True)
+            )
+            continue
+        ell_ok = abs(p.ell.estimate() / r.distinct_exact - 1) <= ell_bound
         f2_ok = abs(f2_est / float(r.f2_exact) - 1) <= cs_cfg.rel_f2_error_bound
         tid = np.array([r.top_token], dtype=np.int64)
         mg_est = int(p.mg.estimate(tid)[0])
@@ -2310,16 +2323,15 @@ def trigram_novelty_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("tri").alias("d"))
     ).collect()[0].d
     bound = 5 * spec.theoretical_rse()
-    ok = abs(est / float(exact) - 1.0) <= bound
+    if total == 0:
+        # no document reaches 3 tokens: the statistic is degenerate but
+        # the row is still valid (est must be exactly 0 on an empty state)
+        out = (0, 0, 0.0, bool(est == 0.0))
+    else:
+        ok = abs(est / float(exact) - 1.0) <= bound
+        out = (int(total), int(exact), round(float(exact) / total, 6), bool(ok))
     return spark.createDataFrame(
-        [
-            (
-                int(total),
-                int(exact),
-                round(float(exact) / total, 6),
-                bool(ok),
-            )
-        ],
+        [out],
         "total_trigrams long, distinct_trigrams_exact long, "
         "novelty_ratio double, within_bound boolean",
     )
@@ -2348,11 +2360,14 @@ def f2_rollup_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     fine = sketch_agg(df, spec, token_array_values("tokens"), by=["source"])
     levels = sketch_rollup(fine, spec, [("source",), ()]).collect()
 
+    # freq feeds BOTH exact branches (per-source F2 and the overlap-aware
+    # total) — persist the small (source, token, cnt) intermediate
+    # (CLAUDE.md: no ReusedExchange across aliases)
     freq = (
         df.select("source", F.explode("tokens").alias("t"))
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).persist()
     per_src = {
         r.source: int(r.f2)
         for r in freq.groupBy("source")
@@ -2366,6 +2381,7 @@ def f2_rollup_tokens_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
         .f2
     )
+    freq.unpersist()
     tol = spec.cfg.rel_f2_error_bound
     data = []
     for r in levels:

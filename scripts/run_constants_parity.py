@@ -14,11 +14,12 @@ Verified in full on 2026-08-18: 7,080/7,080 OK. Run:
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from exaloglog_paper_spark.sketchlib import constants as C
 
