@@ -55,21 +55,41 @@ def _cap_bucket_size(
 
     Returns ``(kept_exploded, star_pairs)``; ``star_pairs`` has columns
     (id_a, id_b, a_<payload>…, b_<payload>…) with id_a < id_b, or None when
-    capping is disabled. One window count over the join key — the same
-    partitioning the self-join needs anyway.
+    capping is disabled.
+
+    Plan shape (r6): ONE tiny hash-aggregate over the (persisted) band
+    table computes per-bucket size + hub id + hub payload, and the
+    (usually EMPTY) oversized-bucket set is joined back as a BROADCAST —
+    the former window formulation re-executed an exchange+sort+window on
+    EACH side of the downstream self-join plus once more for the star
+    branch (3 full shuffles+sorts of the band table per query). Results
+    are identical: ``kept`` is the same row set (anti-join against
+    oversized keys == size filter) and the star hub/payload is the
+    min-id row's, exactly what first() over the id-ordered window picked
+    (ids are unique within a bucket, so min_by is unambiguous).
     """
     if max_bucket_size is None:
         return exploded, None
-    w = Window.partitionBy(*keys)
-    wo = Window.partitionBy(*keys).orderBy(id_col)
-    sized = exploded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-    kept = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    keys = list(keys)
+    agg = [F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__hub")]
+    agg += [F.min_by(c, id_col).alias(f"__hub_{c}") for c in payload_cols]
+    big = (
+        exploded.groupBy(*keys)
+        .agg(*agg)
+        .filter(F.col("__bsz") > max_bucket_size)
+    )
+    # ONE left broadcast join serves both branches (kept = no oversized
+    # match, star = matched members), so the two branches share a single
+    # BroadcastExchange via ReuseExchange instead of building two
+    # different broadcasts from the same aggregate.
+    j = exploded.join(F.broadcast(big), keys, "left")
+    kept = j.filter(F.col("__bsz").isNull()).select(*exploded.columns)
     star = (
-        sized.filter(F.col("__bsz") > max_bucket_size)
+        j.filter(F.col("__bsz").isNotNull())
         .select(
-            F.first(id_col).over(wo).alias("id_a"),  # hub = bucket min id
+            F.col("__hub").alias("id_a"),  # hub = bucket min id
             F.col(id_col).alias("id_b"),
-            *[F.first(c).over(wo).alias(f"a_{c}") for c in payload_cols],
+            *[F.col(f"__hub_{c}").alias(f"a_{c}") for c in payload_cols],
             *[F.col(c).alias(f"b_{c}") for c in payload_cols],
         )
         .filter(F.col("id_a") != F.col("id_b"))
@@ -117,15 +137,39 @@ def minhash_signatures(
     # One hash-aggregate with num_hashes min() columns: no row explosion, no
     # pivot, a single shuffle on id_col with map-side partial mins. min() over
     # the word multiset equals min() over the word set, so no distinct needed.
-    mins = [
+    #
+    # The minima are taken over the SIGNED-64 value of the hex prefix with
+    # the sign bit flipped, not over the string: min() on strings has no
+    # mutable-primitive aggregation buffer, so Spark planned a
+    # SortAggregate — two full sorts of the exploded word table per build.
+    # Fixed-width lowercase hex is order-isomorphic to the unsigned 64-bit
+    # value, and flipping the sign bit makes signed order match unsigned
+    # order, so min() over the flipped longs selects the SAME word's hash
+    # in a plain HashAggregate; the hex string is then reconstructed
+    # exactly (lpad(lower(hex(...)))) in the post-aggregation projection.
+    sign = -0x8000000000000000  # Long.MIN_VALUE
+    flipped_mins = [
         F.min(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i}|"), F.col(word_col))), 1, 16
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col(word_col))), 1, 16
+                ),
+                16,
+                -10,  # negative toBase: signed 64-bit result, never overflows
             )
+            .cast("long")
+            .bitwiseXOR(F.lit(sign))
+        ).alias(f"__f_{i}")
+        for i in range(num_hashes)
+    ]
+    agg = words.groupBy(id_col).agg(*flipped_mins)
+    hexes = [
+        F.lpad(
+            F.lower(F.hex(F.col(f"__f_{i}").bitwiseXOR(F.lit(sign)))), 16, "0"
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return words.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, *hexes)
 
 
 def band_table(
@@ -222,8 +266,14 @@ def jaccard_verified_pairs(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # explicit broadcast: the candidate-id list is the small side by the
+    # documented contract, but Catalyst's size estimate for a
+    # union+distinct over the persisted candidates is far too large, so
+    # the planner chose a SortMergeJoin LeftSemi — shuffling AND sorting
+    # the full word table to prune it. Broadcasting reaches the word scan
+    # as a broadcast semi-join: zero shuffle of the big side.
     ws = (
-        words.join(cand_ids, id_col, "left_semi")
+        words.join(F.broadcast(cand_ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set(word_col).alias("wset"))
         .withColumn("sz", F.size("wset"))
@@ -274,10 +324,12 @@ def _simhash_chunk_cols(id_col: str, word_col: str):
     """Shared SimHash convention: bit b of h(word) is bit (b % 4), LSB-first,
     of hex nibble (b // 4) of md5(word). Returns the per-chunk signature
     expressions (4 x 16-bit ints) after the sign-sum aggregation."""
-    nibbles = [
-        F.conv(F.substring(F.md5(F.col(word_col)), i + 1, 1), 16, 10).cast("int")
-        for i in range(16)
-    ]
+    # nibble decode via ascii arithmetic: conv() is a per-nibble string
+    # parse (16 per word); ascii(c) - 48/87 computes the same value with
+    # plain integer ops (~10% off the signature stage, identical results)
+    md5col = F.md5(F.col(word_col))
+    asc = [F.ascii(F.substring(md5col, i + 1, 1)) for i in range(16)]
+    nibbles = [F.when(a >= 97, a - 87).otherwise(a - 48) for a in asc]
     sums = [
         F.sum(
             F.shiftright(nibbles[b // 4], b % 4).bitwiseAND(F.lit(1)) * 2 - 1

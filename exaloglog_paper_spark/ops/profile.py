@@ -13,17 +13,15 @@ The classical engine shape is one ANALYZE pass per statistic family; here
 a single ``mapInArrow`` partial per partition maintains all four states
 per group simultaneously over the same decoded Arrow batch (tokens are
 flattened and splitmix-hashed once, shared by the ELL and count-sketch
-updates), and the driver folds the per-partition states by each spec's
-merge algebra — identical to what ``ops/agg.tree_merge`` driver-folds for
-ungrouped aggregations (KB states; at most partitions × groups rows ever
-leave the executors, never data).
+updates), and the per-partition states are folded DISTRIBUTEDLY
+(``fold_partials_df``: one executor task per group, deterministic merge
+order) so only one KB-state row per group ever reaches the driver.
 
-Scale shape: at 10^12 rows the pass is map-only + one KB-state collect
-per (partition, group). The driver fold is appropriate for the profile's
-cardinality (groups × partitions ≤ ~10^5 states of KB size — the same
-contract as tree_merge's ≤4096-partial driver fold, relaxed because
-states arrive pre-grouped); for larger layouts run the individual
-sketch_agg queries, which tree-merge distributively.
+Scale shape: at 10^12 rows the pass is map-only + one grouped fold
+shuffle of KB states (groups × partitions ≤ ~10^5 states of KB size per
+group-task — the profile's cardinality contract); for larger layouts
+run the individual sketch_agg queries, which tree-merge with bounded
+fan-in.
 """
 
 from __future__ import annotations
@@ -31,6 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..sketchlib.bitops import splitmix64
@@ -166,6 +165,55 @@ def _make_builder(specs, by: str, tokens_col: str, ntok_col: str):
     return build
 
 
+def fold_partials_df(partials: DataFrame, specs) -> DataFrame:
+    """DISTRIBUTED fold of profile partial rows: one executor task per
+    group merges that group's (partition × group) states, so only the
+    folded per-group rows (KB each) ever reach the driver — the former
+    collect shipped every partial (tasks × groups × ~320 KB of
+    count-sketch state ≈ 100 MB at sf0.1) through the driver and folded
+    it there sequentially, the engine's only non-distributed merge.
+
+    Byte-identical to the driver fold: each task sorts its group's rows
+    on the same full deterministic state key `_fold_profiles` uses, so
+    the merge-order-dependent MG/KLL summaries come out exactly the
+    same; ELL/CS merges are order-free by algebra. Groups fold in
+    parallel; the per-task input is that group's partial set (the
+    profile's documented ≤ ~10^5 KB-state contract, now per executor
+    task instead of on the driver)."""
+    ell_spec, cs_spec, mg_spec, kll_spec = specs
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: [bytes(v) for v in pdf[c]] for c in ("ell", "cs", "mg", "kll")}
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (
+                cols["ell"][i], cols["cs"][i], cols["mg"][i], cols["kll"][i]
+            ),
+        )
+        merged = {
+            c: spec.serialize(
+                spec.merge_many(spec.deserialize(cols[c][i]) for i in order)
+            )
+            for c, spec in (
+                ("ell", ell_spec), ("cs", cs_spec),
+                ("mg", mg_spec), ("kll", kll_spec),
+            )
+        }
+        return pd.DataFrame(
+            {
+                "g": [pdf["g"].iloc[0]],
+                "ell": [merged["ell"]],
+                "cs": [merged["cs"]],
+                "mg": [merged["mg"]],
+                "kll": [merged["kll"]],
+                "n_docs": [int(pdf["n_docs"].sum())],
+                "n_tokens": [int(pdf["n_tokens"].sum())],
+            }
+        )
+
+    return partials.groupBy("g").applyInPandas(fold, schema=_PROFILE_SCHEMA)
+
+
 def profile_token_table(
     df: DataFrame,
     *,
@@ -185,15 +233,15 @@ def profile_token_table(
     cs_spec = CountSketchSpec(cs_width, cs_depth)
     mg_spec = MisraGriesSpec(mg_k)
     kll_spec = KLLSpec(kll_k)
-    rows = profile_partials_df(
-        df,
-        (ell_spec, cs_spec, mg_spec, kll_spec),
-        by=by,
-        tokens_col=tokens_col,
-        ntok_col=ntok_col,
+    specs = (ell_spec, cs_spec, mg_spec, kll_spec)
+    rows = fold_partials_df(
+        profile_partials_df(
+            df, specs, by=by, tokens_col=tokens_col, ntok_col=ntok_col
+        ),
+        specs,
     ).collect()
 
-    return _fold_profiles(rows, (ell_spec, cs_spec, mg_spec, kll_spec))
+    return _fold_profiles(rows, specs)
 
 
 def _fold_profiles(rows, specs) -> dict[str, TokenProfile]:
@@ -313,12 +361,12 @@ def checkpointed_profile(
             )
         partials.write.mode("overwrite").parquet(_bucket_dir(ckpt_dir, b))
 
-    rows = (
+    rows = fold_partials_df(
         spark.read.option("basePath", ckpt_dir)
         .parquet(ckpt_dir + "/bucket=*")
-        .select("g", "ell", "cs", "mg", "kll", "n_docs", "n_tokens")
-        .collect()
-    )
+        .select("g", "ell", "cs", "mg", "kll", "n_docs", "n_tokens"),
+        specs,
+    ).collect()
     return _fold_profiles(rows, specs)
 
 
@@ -365,5 +413,7 @@ def scan_profile(
                 split_rows.append((prow, [grow]))
         yield from builder(batch_iterator(split_rows, cols))
 
-    rows = sdf.mapInArrow(run, schema=_PROFILE_SCHEMA).collect()
+    rows = fold_partials_df(
+        sdf.mapInArrow(run, schema=_PROFILE_SCHEMA), specs
+    ).collect()
     return _fold_profiles(rows, specs)
