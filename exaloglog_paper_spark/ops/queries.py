@@ -37,20 +37,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Fan a small scan out to cluster parallelism before CPU-heavy per-row
     work (explode + hashing). A tiny parquet file arrives as one split, which
     would serialize the downstream map work onto one core; at real scale the
-    scan already has >= defaultParallelism splits and this is a no-op."""
+    scan already has >= defaultParallelism splits and this is a no-op.
+
+    When ``key_cols`` are given the spread hash-partitions on them instead
+    of round-robin: a downstream groupBy/window on the same key then REUSES
+    this exchange (one shuffle instead of two — guide §2.4), and a dense
+    unique id spreads exactly as evenly as round-robin."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par) if df.rdd.getNumPartitions() < par else df
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    cols = [F.col(c) for c in key_cols]
+    return df.repartition(par, *cols) if cols else df.repartition(par)
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents exploded to one row per word (deterministic tokenization
     shared with the DuckDB oracle)."""
     return (
-        _spread(_docs(spark, sf_dir))
+        _spread(_docs(spark, sf_dir), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -84,7 +92,7 @@ def _shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _spread(_docs(spark, sf_dir)).select(
+    return _spread(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", *extra_cols, F.explode(sh).alias("word")
     )
 
@@ -1821,9 +1829,12 @@ def bottomk_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16).alias(
-                "priority_hex"
-            ),
+            # reassemble the 16-hex-char priority from the two halves
+            # keyed already carries instead of a second md5 per matched row
+            F.concat(
+                F.lpad(F.lower(F.hex("prio_hi")), 8, "0"),
+                F.lpad(F.lower(F.hex("prio_lo")), 8, "0"),
+            ).alias("priority_hex"),
         )
         .orderBy("source", "priority_hex")
     )
@@ -2419,6 +2430,10 @@ def sliding_window_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFr
     from .specs import MisraGriesSpec
 
     spec = MisraGriesSpec(k=64)
+    # ev feeds BOTH the hour-state build and the exact-top verification
+    # branch — persist the small projected intermediate so the events scan
+    # and xxhash64 don't recompute per branch (no ReusedExchange across
+    # aliases; same convention as token_profile_by_source's freq)
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("user_id").isNotNull())
@@ -2427,6 +2442,7 @@ def sliding_window_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFr
             "user_id",
             F.xxhash64("user_id").alias("uid"),
         )
+        .persist()
     )
     hour_states = sketch_agg(ev, spec, id64_values("uid"), by=["hour"])
     fanned = (
@@ -2470,6 +2486,7 @@ def sliding_window_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 3)
     ).collect()
+    ev.unpersist()
 
     import numpy as np
 

@@ -146,12 +146,34 @@ class CountSketch:
                 self.table += grid[:, 1, :]
                 self.table -= grid[:, 0, :]
         else:
-            bucket, sign = self._bucket_sign(hashes)
-            wts = sign * counts[None, :].astype(np.float64)
-            for r in range(self.cfg.depth):
-                self.table[r] += np.bincount(
-                    bucket[r], weights=wts[r], minlength=self.cfg.width
-                ).astype(np.int64)
+            # INTEGER accumulation (np.add.at into the same flat 2-lane
+            # grid as the unweighted path): bincount weights are float64,
+            # which silently loses integer precision once a bucket's
+            # weighted sum exceeds 2^53 — breaking the byte-exact
+            # LINEAR-state contract. Chunked like the hot path.
+            h = as_u64(hashes)
+            cnt = np.asarray(counts, dtype=np.int64)
+            rows = np.arange(self.cfg.depth, dtype=np.uint64)[:, None]
+            row_off = rows * U64(w2)
+            for lo in range(0, len(h), 131072):
+                c = h[lo : lo + 131072]
+                cc = cnt[lo : lo + 131072]
+                with np.errstate(over="ignore"):
+                    h1 = splitmix64(c)
+                    h2 = splitmix64(c ^ _H2_SALT) | U64(1)
+                    idx = np.multiply(rows, h2[None, :])
+                    idx += h1[None, :]
+                idx &= U64(w2 - 1)
+                idx += row_off
+                flat = np.zeros(self.cfg.depth * w2, dtype=np.int64)
+                np.add.at(
+                    flat,
+                    idx.ravel().view(np.int64),
+                    np.broadcast_to(cc[None, :], idx.shape).ravel(),
+                )
+                grid = flat.reshape(self.cfg.depth, 2, self.cfg.width)
+                self.table += grid[:, 1, :]
+                self.table -= grid[:, 0, :]
         return self
 
     def query(self, hashes: np.ndarray) -> np.ndarray:

@@ -94,6 +94,15 @@ class PrioritySample:
             return self
         keys = keys.astype(np.uint64, copy=False)
         weights = weights.astype(np.int64, copy=False)
+        # preconditions of the cross-engine bit-exactness / total-order
+        # injectivity argument (module docstring): w > 0 keeps q = w/u
+        # positive and order-defining; w <= 2^52 keeps w -> w/u injective
+        # per key so the (q desc, key asc) total order needs no tie-break
+        if weights.min() <= 0 or weights.max() > (1 << 52):
+            raise ValueError(
+                "priority-sample weights must be in (0, 2^52]: got "
+                f"min={int(weights.min())}, max={int(weights.max())}"
+            )
         self.n += len(keys)
         self.sum_w += int(weights.sum())
         return self._fold(keys, weights)
