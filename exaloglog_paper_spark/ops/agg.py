@@ -446,6 +446,30 @@ class float_values(Extractor):
 PARTIAL_COLS = "sketch binary, n_values long, partition_id long, build_secs double"
 
 
+def local_df(spark, rows, schema: str) -> DataFrame:
+    """Small driver-side rows -> DataFrame as a JVM LocalRelation.
+
+    ``spark.createDataFrame(list, schema)`` builds a Python-RDD-backed
+    plan whose scan re-runs a Python worker on EVERY execution (~0.3 s
+    per job, measured) — a hidden per-query tax for the KB-sized result
+    and seed rows this engine assembles. Routing the same rows through a
+    pandas DataFrame (Arrow conversion path) materializes them into the
+    JVM once, so downstream executions scan a LocalTableScan (~25 ms).
+    Falls back to the classic path if the Arrow conversion rejects a
+    type; results are identical either way."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    try:
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows],
+            columns=[f.split()[0] for f in schema.split(",")],
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def _by_schema(df: DataFrame, by: Sequence[str]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return "".join(f"{c} {fields[c]}, " for c in by)
@@ -705,14 +729,16 @@ def tree_merge(
             st = spec.merge_many(spec.deserialize(bytes(r.sketch)) for r in rows)
             n = sum(int(r.n_values) for r in rows)
             secs = float(sum(float(r.build_secs) for r in rows))
-            return partials.sparkSession.createDataFrame(
+            return local_df(
+                partials.sparkSession,
                 [(spec.serialize(st), n, secs)],
                 "sketch binary, n_values long, build_secs double",
             )
         # guarantee one output row even when the input plan is empty
         # (Catalyst may prune the scan to an empty relation, so stage A
         # never runs); merging the seed empty state is an identity
-        seed = partials.sparkSession.createDataFrame(
+        seed = local_df(
+            partials.sparkSession,
             [(spec.serialize(spec.empty()), 0, 0, 0.0)],
             "sketch binary, n_values long, partition_id long, build_secs double",
         )
@@ -786,6 +812,27 @@ def with_estimate(
     deserialize + finalize.
     """
     batch_fn = getattr(spec, "finalize_batch", None)
+
+    if df.isLocal():
+        # LocalRelation input (e.g. tree_merge's driver-fold row): collect
+        # is driver-local and free, so estimate here and return another
+        # LocalRelation instead of paying a one-row Python-UDF job
+        # (~0.45 s of worker dispatch per execution). Identical values —
+        # same finalize/finalize_batch code either way.
+        rows = df.collect()
+        sketches = [bytes(r[sketch_col]) for r in rows]
+        if batch_fn is not None and rows:
+            ests = [float(v) for v in np.asarray(batch_fn(sketches))]
+        else:
+            ests = [float(spec.finalize(spec.deserialize(s))) for s in sketches]
+        return local_df(
+            df.sparkSession,
+            [tuple(r) + (e,) for r, e in zip(rows, ests)],
+            ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            + f", {out} double",
+        )
 
     @F.pandas_udf(DoubleType())
     def est(s: pd.Series) -> pd.Series:

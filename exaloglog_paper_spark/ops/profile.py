@@ -340,9 +340,9 @@ def checkpointed_profile(
             continue
         par = min(len(bucket_splits), spark.sparkContext.defaultParallelism * 2)
         sdf = spark.createDataFrame(
-            spark.sparkContext.parallelize(bucket_splits, par),
+            pd.DataFrame(bucket_splits, columns=["path", "row_group"]),
             "path string, row_group int",
-        )
+        ).repartition(par)
 
         def run(batches, _cols=tuple(cols)):
             split_rows = []

@@ -72,8 +72,19 @@ def splits_df(spark: SparkSession, path: str, parallelism: int | None = None) ->
                 -(-total_bytes // _TARGET_SPLIT_BYTES),
             ),
         )
-    rdd = spark.sparkContext.parallelize(splits, parallelism)
-    return spark.createDataFrame(rdd, "path string, row_group int")
+    # Arrow-backed LocalRelation + round-robin repartition instead of
+    # sc.parallelize: the parallelize RDD carries pickled Python rows whose
+    # scan re-runs a Python deserialization step chained in front of every
+    # downstream mapInArrow task; the LocalRelation ships the split list
+    # (KB) JVM-side once. Round-robin assignment is deterministic
+    # (sortBeforeRepartition) and split->task placement is free to differ:
+    # every consumer is partitioning-invariant by the merge algebra.
+    import pandas as pd
+
+    pdf = pd.DataFrame(splits, columns=["path", "row_group"])
+    return spark.createDataFrame(pdf, "path string, row_group int").repartition(
+        parallelism
+    )
 
 
 def batch_iterator(split_rows, columns: Sequence[str], batch_rows: int = 65536):
