@@ -147,29 +147,27 @@ def minhash_signatures(
     # order, so min() over the flipped longs selects the SAME word's hash
     # in a plain HashAggregate; the hex string is then reconstructed
     # exactly (lpad(lower(hex(...)))) in the post-aggregation projection.
-    sign = -0x8000000000000000  # Long.MIN_VALUE
+    # expressions are built as SQL strings (one py4j round trip each, not
+    # one per Column operation): plan-construction latency is driver-side
+    # wall time on every execution, and the chatty Column-API form cost
+    # ~100 round trips here alone (guide §7.3: planning IS runtime)
+    sign = "-9223372036854775808L"  # Long.MIN_VALUE
     flipped_mins = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}|"), F.col(word_col))), 1, 16
-                ),
-                16,
-                -10,  # negative toBase: signed 64-bit result, never overflows
-            )
-            .cast("long")
-            .bitwiseXOR(F.lit(sign))
-        ).alias(f"__f_{i}")
+        F.expr(
+            # negative toBase: signed 64-bit conv result, never overflows
+            f"min(cast(conv(substring(md5(concat('{i}|', {word_col})), 1, 16),"
+            f" 16, -10) as bigint) ^ {sign}) AS __f_{i}"
+        )
         for i in range(num_hashes)
     ]
     agg = words.groupBy(id_col).agg(*flipped_mins)
-    hexes = [
-        F.lpad(
-            F.lower(F.hex(F.col(f"__f_{i}").bitwiseXOR(F.lit(sign)))), 16, "0"
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return agg.select(id_col, *hexes)
+    return agg.selectExpr(
+        id_col,
+        *[
+            f"lpad(lower(hex(__f_{i} ^ {sign})), 16, '0') AS mh_{i}"
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def band_table(
@@ -183,18 +181,18 @@ def band_table(
     shared by the candidate join and the mass-duplicate observability query
     so they can never drift apart."""
     num_bands = num_hashes // band_size
-    bands = []
-    for b in range(num_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
+    bands = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * band_size + j}" for j in range(band_size)
+            ),
         )
-    return signatures.select(id_col, F.explode(F.array(*bands)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        for b in range(num_bands)
     )
+    return signatures.select(
+        id_col, F.expr(f"explode(array({bands}))").alias("bb")
+    ).selectExpr(id_col, "bb.band AS band", "bb.bucket AS bucket")
 
 
 def lsh_candidate_pairs(
@@ -323,27 +321,34 @@ def jaccard_verified_pairs(
 def _simhash_chunk_cols(id_col: str, word_col: str):
     """Shared SimHash convention: bit b of h(word) is bit (b % 4), LSB-first,
     of hex nibble (b // 4) of md5(word). Returns the per-chunk signature
-    expressions (4 x 16-bit ints) after the sign-sum aggregation."""
-    # nibble decode via ascii arithmetic: conv() is a per-nibble string
-    # parse (16 per word); ascii(c) - 48/87 computes the same value with
-    # plain integer ops (~10% off the signature stage, identical results)
-    md5col = F.md5(F.col(word_col))
-    asc = [F.ascii(F.substring(md5col, i + 1, 1)) for i in range(16)]
-    nibbles = [F.when(a >= 97, a - 87).otherwise(a - 48) for a in asc]
+    expressions (4 x 16-bit ints) after the sign-sum aggregation.
+
+    Expressions are SQL strings (a handful of py4j round trips instead of
+    ~600 Column-API calls — plan construction is per-execution driver wall
+    time), and nibbles decode via ascii arithmetic rather than conv()
+    string parses; Catalyst's common-subexpression elimination dedups the
+    repeated md5/ascii terms at codegen exactly as it did for the shared
+    Column objects."""
+
+    def nib(b):
+        a = f"ascii(substring(md5({word_col}), {b // 4 + 1}, 1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
     sums = [
-        F.sum(
-            F.shiftright(nibbles[b // 4], b % 4).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{b}")
+        F.expr(f"sum(((shiftright({nib(b)}, {b % 4}) & 1) * 2 - 1)) AS s{b}")
         for b in range(64)
     ]
-    chunks = []
-    for c in range(4):
-        expr = None
-        for j in range(16):
-            bit = F.when(F.col(f"s{16 * c + j}") > 0, 1).otherwise(0)
-            piece = F.shiftleft(bit, j)
-            expr = piece if expr is None else expr + piece
-        chunks.append(expr.cast("int").alias(f"chunk_{c}"))
+    chunks = [
+        F.expr(
+            "cast(("
+            + " + ".join(
+                f"shiftleft(CASE WHEN s{16 * c + j} > 0 THEN 1 ELSE 0 END, {j})"
+                for j in range(16)
+            )
+            + f") as int) AS chunk_{c}"
+        )
+        for c in range(4)
+    ]
     return sums, chunks
 
 
