@@ -71,8 +71,10 @@ def _cap_bucket_size(
     if max_bucket_size is None:
         return exploded, None
     keys = list(keys)
-    agg = [F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__hub")]
-    agg += [F.min_by(c, id_col).alias(f"__hub_{c}") for c in payload_cols]
+    agg = [F.expr("count(1) AS __bsz"), F.expr(f"min({id_col}) AS __hub")]
+    agg += [
+        F.expr(f"min_by({c}, {id_col}) AS __hub_{c}") for c in payload_cols
+    ]
     big = (
         exploded.groupBy(*keys)
         .agg(*agg)
@@ -86,11 +88,11 @@ def _cap_bucket_size(
     kept = j.filter(F.col("__bsz").isNull()).select(*exploded.columns)
     star = (
         j.filter(F.col("__bsz").isNotNull())
-        .select(
-            F.col("__hub").alias("id_a"),  # hub = bucket min id
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"__hub_{c}").alias(f"a_{c}") for c in payload_cols],
-            *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        .selectExpr(
+            f"__hub AS id_a",  # hub = bucket min id
+            f"{id_col} AS id_b",
+            *[f"__hub_{c} AS a_{c}" for c in payload_cols],
+            *[f"{c} AS b_{c}" for c in payload_cols],
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
@@ -273,17 +275,13 @@ def jaccard_verified_pairs(
     ws = (
         words.join(F.broadcast(cand_ids), id_col, "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_set(word_col).alias("wset"))
-        .withColumn("sz", F.size("wset"))
+        .agg(F.expr(f"collect_set({word_col}) AS wset"))
+        .withColumn("sz", F.expr("size(wset)"))
         .persist()
     )
-    a = ws.select(
-        F.col(id_col).alias("id_a"), F.col("wset").alias("ws_a"), F.col("sz").alias("sz_a")
-    )
-    b = ws.select(
-        F.col(id_col).alias("id_b"), F.col("wset").alias("ws_b"), F.col("sz").alias("sz_b")
-    )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    a = ws.selectExpr(f"{id_col} AS id_a", "wset AS ws_a", "sz AS sz_a")
+    b = ws.selectExpr(f"{id_col} AS id_b", "wset AS ws_b", "sz AS sz_b")
+    inter = F.expr("size(array_intersect(ws_a, ws_b))")
     joined = candidates.join(a, "id_a").join(b, "id_b")
     if threshold > 0:
         # necessary size condition of J >= t: |A∩B| <= min(|A|,|B|) and
@@ -371,54 +369,43 @@ def simhash_near_pairs(
     hamming distance <= 3 shares at least one exact 16-bit band). Oversized
     band buckets bypass the all-pairs self-join and emit hub-star edges
     instead (see _cap_bucket_size); the hamming filter applies to both."""
-    bands = [
-        F.struct(F.lit(i).alias("band"), F.col(f"chunk_{i}").alias("chunk"))
-        for i in range(4)
-    ]
+    band_arr = ", ".join(f"struct({i} AS band, chunk_{i} AS chunk)" for i in range(4))
+    chunk_cols = [f"chunk_{i}" for i in range(4)]
     # persist: the a/b self-join would recompute the 64-aggregate signature
     # build twice otherwise (same rationale as lsh_candidate_pairs)
     ex = (
-        signatures.select(
-            id_col, *[f"chunk_{i}" for i in range(4)], F.explode(F.array(*bands)).alias("bb")
+        signatures.selectExpr(
+            id_col, *chunk_cols, f"explode(array({band_arr})) AS bb"
         )
-        .select(
-            id_col,
-            *[f"chunk_{i}" for i in range(4)],
-            F.col("bb.band").alias("band"),
-            F.col("bb.chunk").alias("chunk"),
-        )
+        .selectExpr(id_col, *chunk_cols, "bb.band AS band", "bb.chunk AS chunk")
         .persist()
     )
-    payload = [f"chunk_{i}" for i in range(4)]
-    ex, star = _cap_bucket_size(ex, max_bucket_size, ("band", "chunk"), id_col, payload)
+    ex, star = _cap_bucket_size(
+        ex, max_bucket_size, ("band", "chunk"), id_col, chunk_cols
+    )
     a, b = ex.alias("a"), ex.alias("b")
     cand = a.join(
         b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        *[F.col(f"a.chunk_{i}").alias(f"ca_{i}") for i in range(4)],
-        *[F.col(f"b.chunk_{i}").alias(f"cb_{i}") for i in range(4)],
+        F.expr(f"a.band = b.band AND a.chunk = b.chunk AND a.{id_col} < b.{id_col}"),
+    ).selectExpr(
+        f"a.{id_col} AS id_a",
+        f"b.{id_col} AS id_b",
+        *[f"a.chunk_{i} AS ca_{i}" for i in range(4)],
+        *[f"b.chunk_{i} AS cb_{i}" for i in range(4)],
     )
     if star is not None:
         cand = cand.unionByName(
-            star.select(
+            star.selectExpr(
                 "id_a",
                 "id_b",
-                *[F.col(f"a_chunk_{i}").alias(f"ca_{i}") for i in range(4)],
-                *[F.col(f"b_chunk_{i}").alias(f"cb_{i}") for i in range(4)],
+                *[f"a_chunk_{i} AS ca_{i}" for i in range(4)],
+                *[f"b_chunk_{i} AS cb_{i}" for i in range(4)],
             )
         )
     cand = cand.distinct()
-    hamming = None
-    for i in range(4):
-        piece = F.bit_count(F.col(f"ca_{i}").bitwiseXOR(F.col(f"cb_{i}")))
-        hamming = piece if hamming is None else hamming + piece
+    hamming = " + ".join(f"bit_count(ca_{i} ^ cb_{i})" for i in range(4))
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        cand.withColumn("hamming", F.expr(f"cast({hamming} as long)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -33,8 +33,26 @@ from . import tokens as tok
 WORD_SPLIT_RE = "[^a-z0-9]+"
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_pq(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with a per-path schema memo: schema inference
+    reads the footer in a small job on EVERY read call, and query
+    constructors here re-read the same tables several times per
+    execution. Caching the inferred StructType (metadata, not data — the
+    scan itself is unchanged) skips those jobs; a real deployment gets
+    the same effect from a catalog."""
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_pq(spark, f"{sf_dir}/documents.parquet")
 
 
 def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -111,7 +129,7 @@ def exact_distinct_words_per_source(spark: SparkSession, sf_dir: str) -> DataFra
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem (exact aggregates;
     doubles rounded for cross-engine hash stability)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -262,8 +280,8 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact agg; the dimension side is explicitly broadcast)."""
     from pyspark.sql.window import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _read_pq(spark, f"{sf_dir}/orders.parquet")
+    cust = _read_pq(spark, f"{sf_dir}/customer.parquet")
     rev = (
         orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 3).alias("revenue"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -282,7 +300,7 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; session tz is UTC so the epoch matches DuckDB's
     epoch = F.col("ts").cast("timestamp").cast("long")
@@ -304,7 +322,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over the events table: counts + exact
     distinct users (the batch twin of streaming/windows.py; exact for the
     oracle — the streaming variant uses approx_count_distinct)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _read_pq(spark, f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
@@ -340,7 +358,7 @@ def sliding_window_distinct_users_bound(spark: SparkSession, sf_dir: str) -> Dat
     spec = ExaLogLogSpec(2, 20, 10)
     bound = 5 * spec.theoretical_rse()
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _read_pq(spark, f"{sf_dir}/events.parquet")
         .select(
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
             "user_id",
@@ -701,7 +719,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table (at 10^12 scale the LSH/IVF bucketing in
     ops/similarity.py prunes the pair space; semantics identical)."""
     emb = _spread(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _read_pq(spark, f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < 1000)  # bounded sample for the exact pass
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
@@ -735,7 +753,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors for query vectors vec_id<3."""
     from .similarity import cosine_topk
 
-    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    emb = _spread(_read_pq(spark, f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 3)
@@ -897,7 +915,7 @@ def ivf_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     so probing prunes whole files."""
     from .similarity import cosine_topk, ivf_cosine_topk, train_ivf_centroids
 
-    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    emb = _spread(_read_pq(spark, f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     emb = emb.cache()
@@ -932,7 +950,7 @@ def lsh_ann_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs."""
     from .similarity import cosine_topk, lsh_cosine_topk
 
-    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    emb = _spread(_read_pq(spark, f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     emb = emb.cache()
@@ -1978,8 +1996,8 @@ def bloom_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .joins import bloom_anti_join, bloom_semi_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    cust = _read_pq(spark, f"{sf_dir}/customer.parquet").select("c_custkey")
+    urgent = _read_pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     semi = bloom_semi_join(cust, urgent, "c_custkey", "o_custkey", num_bits=1 << 16)
@@ -2141,10 +2159,10 @@ def join_size_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sketchlib.countsketch import join_size_error_bound
 
     spec = CountSketchSpec(width=16384, depth=5)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _read_pq(spark, f"{sf_dir}/orders.parquet").select(
         F.xxhash64(F.col("o_custkey").cast("long")).alias("h")
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _read_pq(spark, f"{sf_dir}/customer.parquet").select(
         F.xxhash64(F.col("c_custkey").cast("long")).alias("h")
     )
     row_o = sketch_agg(orders, spec, hash64_values("h")).collect()[0]
@@ -2155,9 +2173,9 @@ def join_size_estimate_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     infl = 1.0 + spec.cfg.rel_f2_error_bound
     bound = join_size_error_bound(spec.cfg, cs_o.f2() * infl, cs_c.f2() * infl)
     join_exact = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read_pq(spark, f"{sf_dir}/orders.parquet")
         .join(
-            F.broadcast(spark.read.parquet(f"{sf_dir}/customer.parquet")),
+            F.broadcast(_read_pq(spark, f"{sf_dir}/customer.parquet")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .count()
@@ -2435,7 +2453,7 @@ def sliding_window_heavy_users_bound(spark: SparkSession, sf_dir: str) -> DataFr
     # and xxhash64 don't recompute per branch (no ReusedExchange across
     # aliases; same convention as token_profile_by_source's freq)
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _read_pq(spark, f"{sf_dir}/events.parquet")
         .filter(F.col("user_id").isNotNull())
         .select(
             F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
