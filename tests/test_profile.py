@@ -161,3 +161,47 @@ def test_profile_empty_and_all_null_group_inputs(spark, tmp_path):
         "source", F.lit(None).cast("string")
     )
     assert profile_token_table(nullsrc) == {}
+
+
+def test_profile_fold_is_distributed(spark):
+    """r6 plan pin: the profiler's fold runs as a grouped executor-side
+    stage (FlatMapGroupsInPandas over the partials), and the fold output
+    is ONE row per group — only KB-per-group rows ever reach the driver,
+    never the raw (task x group) partial states (VERDICT r5 item 1)."""
+    from exaloglog_paper_spark.ops.agg import ExaLogLogSpec
+    from exaloglog_paper_spark.ops.profile import (
+        fold_partials_df,
+        profile_partials_df,
+    )
+    from exaloglog_paper_spark.ops.specs import (
+        CountSketchSpec,
+        KLLSpec,
+        MisraGriesSpec,
+    )
+
+    df = tok.token_table(spark, 2_000, num_partitions=8)
+    specs = (
+        ExaLogLogSpec(2, 20, 8),
+        CountSketchSpec(512, 3),
+        MisraGriesSpec(32),
+        KLLSpec(64),
+    )
+    partials = profile_partials_df(df, specs)
+    folded = fold_partials_df(partials, specs)
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the fold is a grouped stage
+    rows = folded.collect()
+    assert len(rows) == len({r.g for r in rows})  # one row per group
+    # and it matches the driver-side fold of the raw partials exactly
+    from exaloglog_paper_spark.ops.profile import _fold_profiles
+
+    direct = _fold_profiles(partials.collect(), specs)
+    via_fold = _fold_profiles(rows, specs)
+    assert set(direct) == set(via_fold)
+    for g in direct:
+        assert direct[g].ell.serialize() == via_fold[g].ell.serialize()
+        assert direct[g].cs.serialize() == via_fold[g].cs.serialize()
+        assert direct[g].mg.serialize() == via_fold[g].mg.serialize()
+        assert direct[g].kll.serialize() == via_fold[g].kll.serialize()
+        assert direct[g].n_docs == via_fold[g].n_docs
+        assert direct[g].n_tokens == via_fold[g].n_tokens
