@@ -96,19 +96,71 @@ def _timed(spark, name, fn, reps=3, clear=True):
     return round(best, 3)
 
 
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def cmd_plans(outdir):
     os.makedirs(outdir, exist_ok=True)
     spark = _spark()
     tp = _token_path(spark)
+
+    def write(name, text):
+        with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
+            f.write(text)
+        print(f"wrote {name}")
+
     for name, mk in _query_dfs(spark, tp).items():
         df = mk()
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        with open(os.path.join(outdir, f"{name}.txt"), "w") as f:
-            f.write(plan)
+        write(name, _explain(df))
         spark.catalog.clearCache()
-        print(f"wrote {name}")
+
+    # the ungrouped/grouped scan paths now driver-fold: their final DF is a
+    # LocalRelation, so ALSO dump the distributed partials-stage plan the
+    # fold consumes (this is where pruning/exchange claims are checkable)
+    from exaloglog_paper_spark.ops.agg import (
+        ExaLogLogSpec,
+        _build_partials_batches,
+        _by_schema_from_fields,
+        token_array_values,
+    )
+    from exaloglog_paper_spark.ops.source import batch_iterator, splits_df
+
+    spec = ExaLogLogSpec(2, 20, 10)
+    ex = token_array_values("tokens")
+    for label, by in (("ell_global_build_partials", []), ("ell_by_source_partials", ["source"])):
+        sdf = splits_df(spark, tp)
+        num_p = sdf.rdd.getNumPartitions()
+        cols = list(dict.fromkeys(by + list(ex.input_cols)))
+
+        def run(batches, _c=tuple(cols), _n=num_p):
+            rows = []
+            for b in batches:
+                for p, g in zip(b.column("path").to_pylist(), b.column("row_group").to_pylist()):
+                    rows.append((p, [g]))
+            yield from _build_partials_batches(
+                batch_iterator(rows, list(_c)), spec, ex, by, num_partitions=_n
+            )
+
+        import pyarrow.parquet as pq
+        from exaloglog_paper_spark.ops.source import list_row_group_splits
+
+        fs = pq.ParquetFile(list_row_group_splits(tp)[0][0]).schema_arrow
+        schema = _by_schema_from_fields([fs.field(c) for c in by])
+        write(label, _explain(sdf.mapInArrow(run, schema=schema)))
+
+    # profiler: partials + distributed fold plan
+    from exaloglog_paper_spark.ops.profile import (
+        fold_partials_df,
+        profile_partials_df,
+    )
+    from exaloglog_paper_spark.ops.specs import CountSketchSpec, KLLSpec, MisraGriesSpec
+
+    specs = (ExaLogLogSpec(2, 20, 10), CountSketchSpec(8192, 5), MisraGriesSpec(256), KLLSpec(200))
+    partials = profile_partials_df(spark.read.parquet(tp), specs)
+    write("token_profile_fold", _explain(fold_partials_df(partials, specs)))
     spark.stop()
 
 
