@@ -143,54 +143,13 @@ def scan_sketch_agg(
     file_schema = pq.ParquetFile(first).schema_arrow
     schema = _by_schema_from_fields([file_schema.field(c) for c in by])
     partials = sdf.mapInArrow(run, schema=schema)
-    if by:
-        # Grouped driver-fold fast path: when a cheap JVM-only probe
-        # (column-pruned scan + approx_count_distinct, no Python) bounds
-        # the partial row count well under the tree's driver-fold gate,
-        # collect the KB partial states and fold per group in numpy —
-        # one Python-stage job instead of two (the applyInPandas merge
-        # level costs ~0.5 s of fixed dispatch). Byte-identical for
-        # register/linear sketches by the merge algebra; fold order is
-        # a full deterministic sort, so reruns are stable. High-
-        # cardinality ``by`` fails the probe and takes the distributed
-        # tree as before — the probe never double-runs the scan.
-        from pyspark.sql import functions as F
-
-        from .agg import local_df
-
-        groups_est = (
-            spark.read.parquet(path)
-            .agg(F.approx_count_distinct(F.struct(*by)).alias("g"))
-            .collect()[0].g
-        )
-        if groups_est * 1.3 * num_p <= 4096:
-            rows = partials.collect()
-            rows.sort(
-                key=lambda r: (
-                    tuple(r[c] is None for c in by),
-                    tuple("" if r[c] is None else str(r[c]) for c in by),
-                    int(r.partition_id),
-                    bytes(r.sketch),
-                )
-            )
-            grouped: dict = {}
-            for r in rows:
-                grouped.setdefault(tuple(r[c] for c in by), []).append(r)
-            out = [
-                key
-                + (
-                    spec.serialize(
-                        spec.merge_many(
-                            spec.deserialize(bytes(r.sketch)) for r in rs
-                        )
-                    ),
-                    sum(int(r.n_values) for r in rs),
-                    float(sum(float(r.build_secs) for r in rs)),
-                )
-                for key, rs in grouped.items()
-            ]
-            out_schema = schema.replace(", partition_id long", "")
-            return local_df(spark, out, out_schema)
+    # Grouped aggregations keep the distributed tree unconditionally: a
+    # grouped driver-fold fast path (JVM approx_count_distinct probe +
+    # collect + numpy fold) was tried in r6 and measured NO faster than
+    # the tree at sf0.1 (interleaved A/B: 1.18 vs 1.12 s min) — the
+    # applyInPandas merge pipeline overlaps with the partials stage, so
+    # the probe's extra jobs bought nothing. Rejected; see
+    # OPTIMIZATION_r06.md.
     return tree_merge(partials, spec, by=by, num_partials=num_p, fanin=fanin)
 
 
