@@ -332,19 +332,24 @@ def _simhash_chunk_cols(id_col: str, word_col: str):
         a = f"ascii(substring(md5({word_col}), {b // 4 + 1}, 1))"
         return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
 
-    sums = [
-        F.expr(f"sum(((shiftright({nib(b)}, {b % 4}) & 1) * 2 - 1)) AS s{b}")
-        for b in range(64)
-    ]
-    chunks = [
-        F.expr(
-            "cast(("
-            + " + ".join(
-                f"shiftleft(CASE WHEN s{16 * c + j} > 0 THEN 1 ELSE 0 END, {j})"
-                for j in range(16)
-            )
-            + f") as int) AS chunk_{c}"
+    # the 64 sign-sums ride in ONE array-valued aggregate expression (a
+    # single parse + py4j round trip; the HashAggregate still maintains
+    # 64 sum buffers underneath) and the chunk projection indexes s[b]
+    sums = F.expr(
+        "array("
+        + ", ".join(
+            f"sum(((shiftright({nib(b)}, {b % 4}) & 1) * 2 - 1))"
+            for b in range(64)
         )
+        + ") AS s"
+    )
+    chunks = [
+        "cast(("
+        + " + ".join(
+            f"shiftleft(CASE WHEN s[{16 * c + j}] > 0 THEN 1 ELSE 0 END, {j})"
+            for j in range(16)
+        )
+        + f") as int) AS chunk_{c}"
         for c in range(4)
     ]
     return sums, chunks
@@ -355,8 +360,8 @@ def simhash_signatures(words: DataFrame, id_col: str = "doc_id", word_col: str =
     sums. Entirely JVM expressions (no Python); bit convention shared with
     the SQL oracle (see _simhash_chunk_cols)."""
     sums, chunks = _simhash_chunk_cols(id_col, word_col)
-    bit_sums = words.groupBy(id_col).agg(*sums)
-    return bit_sums.select(id_col, *chunks)
+    bit_sums = words.groupBy(id_col).agg(sums)
+    return bit_sums.selectExpr(id_col, *chunks)
 
 
 def simhash_near_pairs(
