@@ -461,10 +461,10 @@ def local_df(spark, rows, schema: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame(rows, schema)
     try:
-        pdf = pd.DataFrame.from_records(
-            [tuple(r) for r in rows],
-            columns=[f.split()[0] for f in schema.split(",")],
-        )
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = [f.name for f in _parse_datatype_string(schema).fields]
+        pdf = pd.DataFrame.from_records([tuple(r) for r in rows], columns=names)
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)

@@ -318,8 +318,9 @@ def jaccard_verified_pairs(
 
 def _simhash_chunk_cols(id_col: str, word_col: str):
     """Shared SimHash convention: bit b of h(word) is bit (b % 4), LSB-first,
-    of hex nibble (b // 4) of md5(word). Returns the per-chunk signature
-    expressions (4 x 16-bit ints) after the sign-sum aggregation.
+    of hex nibble (b // 4) of md5(word). Returns ``(sums, chunks)``: the
+    single array-valued sign-sum aggregate expression and the four 16-bit
+    chunk projection strings that index it.
 
     Expressions are SQL strings (a handful of py4j round trips instead of
     ~600 Column-API calls — plan construction is per-execution driver wall
