@@ -1,0 +1,84 @@
+"""Round-6 optimization equivalence pins.
+
+The r6 rewrites must be RESULT-IDENTICAL to the formulations they
+replaced (the driver hashes query output against the frozen DuckDB
+oracles). These tests pin each rewrite against an inline reference
+implementation of the OLD form on data that exercises the tricky cases
+(hex prefixes with the top bit set, oversized buckets, payload columns).
+"""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from exaloglog_paper_spark.ops.dedup import (
+    _cap_bucket_size,
+    minhash_signatures,
+)
+
+
+def _words_df(spark, n_docs=60, words_per_doc=25):
+    # deterministic synthetic words; multi-word docs exercise the min,
+    # single-word docs pin the raw hash (a ~50% draw of top-bit-set hex
+    # prefixes, where unflipped signed order would diverge from string
+    # order)
+    rows = [
+        (d, f"w{(d * 7 + i * 13) % 97}")
+        for d in range(n_docs)
+        for i in range(words_per_doc)
+    ]
+    rows += [(1000 + d, f"solo{d}") for d in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, word string")
+
+
+def test_minhash_int64_min_equals_string_min(spark):
+    """min() over the sign-flipped int64 hex value must select the same
+    word's hash as min() over the hex string — incl. values >= 2^63
+    (top hex digit 8-f), where unflipped signed order would diverge."""
+    words = _words_df(spark)
+    fast = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(words).collect()}
+    # the pre-r6 string-min reference formulation
+    mins = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("word"))), 1, 16)
+        ).alias(f"mh_{i}")
+        for i in range(8)
+    ]
+    ref = {r.doc_id: tuple(r)[1:] for r in words.groupBy("doc_id").agg(*mins).collect()}
+    assert fast == ref
+    # sanity: the data actually exercises the sign-flip (some minima >= 2^63)
+    assert any(any(int(h, 16) >= 1 << 63 for h in t) for t in ref.values())
+    assert any(any(int(h, 16) < 1 << 63 for h in t) for t in ref.values())
+
+
+def test_cap_bucket_size_matches_window_reference(spark):
+    """The broadcast-join cap must keep the same rows and emit the same
+    hub-star edges (incl. payload columns) as the pre-r6 window form."""
+    rows = []
+    # bucket A oversized (7 members), bucket B exactly at cap, C below
+    for i in range(7):
+        rows.append((100 + i, 0, "A", 10 + i))
+    for i in range(3):
+        rows.append((200 + i, 0, "B", 20 + i))
+    rows.append((300, 1, "C", 30))
+    ex = spark.createDataFrame(rows, "doc_id long, band int, bucket string, payload int")
+    kept, star = _cap_bucket_size(
+        ex, 3, ("band", "bucket"), "doc_id", ("payload",)
+    )
+    # reference: the old window formulation
+    w = Window.partitionBy("band", "bucket")
+    wo = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    sized = ex.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    ref_kept = sized.filter(F.col("__bsz") <= 3).drop("__bsz")
+    ref_star = (
+        sized.filter(F.col("__bsz") > 3)
+        .select(
+            F.first("doc_id").over(wo).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.first("payload").over(wo).alias("a_payload"),
+            F.col("payload").alias("b_payload"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, ref_kept.collect()))
+    assert sorted(map(tuple, star.collect())) == sorted(map(tuple, ref_star.collect()))
+    assert star.count() == 6  # |B|-1 star edges for the oversized bucket
