@@ -41,6 +41,7 @@ def _cap_bucket_size(
     keys,
     id_col: str,
     payload_cols=(),
+    probe_limit: int = 8192,
 ):
     """Quadratic-blowup guard for the banded self-joins.
 
@@ -80,6 +81,53 @@ def _cap_bucket_size(
         .agg(*agg)
         .filter(F.col("__bsz") > max_bucket_size)
     )
+    # Driver-side adaptive probe (r6): ONE aggregate pass over the
+    # (caller-persisted) band table — the same aggregate the lazy plan
+    # evaluated anyway — fetches the oversized-bucket set up front, and the
+    # plan adapts to what the data actually contains (the outcome is a
+    # property of the data, so the result set is unchanged by
+    # construction):
+    # - EMPTY (the common case): the kept-filter is provably the identity
+    #   and the star branch provably empty, so the whole left-join +
+    #   filter + star scaffolding (3 broadcast exchanges + 4 extra scans
+    #   of the band table per query, ~0.5-0.9 s of stage dispatch at
+    #   sf0.1 measured) is skipped outright.
+    # - small non-empty (bounded by ``probe_limit`` rows ≈ 1 MB driver
+    #   memory): the probe's own rows become a LocalRelation; ``kept`` is a
+    #   broadcast LEFT-ANTI join (whose size estimate equals the left side,
+    #   so the downstream self-join keeps the same static plan as the empty
+    #   case — a shared left-outer + isNull filter here degraded Catalyst's
+    #   stats and flipped five downstream joins to SortMergeJoin, measured
+    #   +0.3-0.5 s) and the star branch a broadcast inner join reusing the
+    #   same LocalRelation build side. The aggregate is NOT recomputed.
+    # - above ``probe_limit`` (pathological mass-duplicate corpus): fall
+    #   back to the lazy aggregate + shared left-outer broadcast exactly as
+    #   before — never collect an unbounded row set to the driver.
+    head = big.take(probe_limit + 1)
+    if not head:
+        return exploded, None
+    if len(head) <= probe_limit:
+        from .agg import local_df
+
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in big.schema.fields
+        )
+        big_local = F.broadcast(local_df(exploded.sparkSession, head, ddl))
+        # using-columns joins move the keys first — restore the input order
+        kept = exploded.join(big_local, keys, "left_anti").select(
+            *exploded.columns
+        )
+        star = (
+            exploded.join(big_local, keys, "inner")
+            .selectExpr(
+                f"__hub AS id_a",  # hub = bucket min id
+                f"{id_col} AS id_b",
+                *[f"__hub_{c} AS a_{c}" for c in payload_cols],
+                *[f"{c} AS b_{c}" for c in payload_cols],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        return kept, star
     # ONE left broadcast join serves both branches (kept = no oversized
     # match, star = matched members), so the two branches share a single
     # BroadcastExchange via ReuseExchange instead of building two

@@ -82,3 +82,38 @@ def test_cap_bucket_size_matches_window_reference(spark):
     assert sorted(map(tuple, kept.collect())) == sorted(map(tuple, ref_kept.collect()))
     assert sorted(map(tuple, star.collect())) == sorted(map(tuple, ref_star.collect()))
     assert star.count() == 6  # |B|-1 star edges for the oversized bucket
+
+
+def _cap_rows(spark):
+    rows = []
+    for i in range(7):
+        rows.append((100 + i, 0, "A", 10 + i))
+    for i in range(3):
+        rows.append((200 + i, 0, "B", 20 + i))
+    rows.append((300, 1, "C", 30))
+    return spark.createDataFrame(
+        rows, "doc_id long, band int, bucket string, payload int"
+    )
+
+
+def test_cap_bucket_size_empty_probe_skips_join(spark):
+    """When no bucket exceeds the cap, the probe must return the input
+    unchanged (identity kept, no star branch) — the scaffolding-skip fast
+    path all four near-dup pipelines hit on cap-free data."""
+    ex = _cap_rows(spark)
+    kept, star = _cap_bucket_size(ex, 100, ("band", "bucket"), "doc_id", ("payload",))
+    assert star is None
+    assert kept is ex  # identity, not just equal rows: zero added plan nodes
+
+
+def test_cap_bucket_size_probe_limit_fallback_matches(spark):
+    """Above probe_limit the lazy shared-left-outer path runs; its rows must
+    match the LocalRelation anti/inner path bit-for-bit."""
+    ex = _cap_rows(spark)
+    fast = _cap_bucket_size(ex, 3, ("band", "bucket"), "doc_id", ("payload",))
+    lazy = _cap_bucket_size(
+        ex, 3, ("band", "bucket"), "doc_id", ("payload",), probe_limit=0
+    )
+    for f, l in zip(fast, lazy):
+        assert f.columns == l.columns
+        assert sorted(map(tuple, f.collect())) == sorted(map(tuple, l.collect()))
