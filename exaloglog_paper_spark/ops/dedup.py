@@ -283,6 +283,29 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def _candidate_word_sets(
+    words: DataFrame, cand_ids: DataFrame, id_col: str, word_col: str
+) -> DataFrame:
+    """Lazy per-candidate-doc distinct word sets: broadcast-semi-prune the
+    word table to candidate docs, then ONE collect_set row per doc.
+
+    The explicit broadcast matters: the candidate-id list is the small side
+    by the documented contract, but Catalyst's size estimate for a
+    union+distinct over the candidates is far too large, so the planner
+    chose a SortMergeJoin LeftSemi — shuffling AND sorting the full word
+    table to prune it. Broadcasting reaches the word scan as a broadcast
+    semi-join: zero shuffle of the big side. Kept as a named helper so
+    tests/test_plans.py can pin this subplan — the eager checkpoint in
+    jaccard_verified_pairs hides it from the final DataFrame's explain.
+    """
+    return (
+        words.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.expr(f"collect_set({word_col}) AS wset"))
+        .withColumn("sz", F.expr("size(wset)"))
+    )
+
+
 def jaccard_verified_pairs(
     words: DataFrame,
     candidates: DataFrame,
@@ -306,26 +329,31 @@ def jaccard_verified_pairs(
     the word scan as a broadcast semi-join, and only candidate docs are
     aggregated or cached.
     """
-    # candidates feed both the id-prune and the verification joins — persist
-    # so the LSH band join isn't recomputed per branch
-    candidates = candidates.persist()
+    # candidates feed both the id-prune and the verification joins. An EAGER
+    # localCheckpoint (not persist) materializes the same rows the lazy
+    # persist would, but also TRUNCATES the logical plan: the three
+    # verification joins below would otherwise each re-analyze the full
+    # LSH subtree (~95 ms of driver-side DeduplicateRelations per deep
+    # join, measured r6), and every AQE stage re-optimization of the
+    # verification job would re-walk it. Fault-tolerance trade per guide
+    # §5: lineage is cut, so losing a checkpoint block fails the job
+    # instead of recomputing — acceptable for a batch intermediate that is
+    # orders of magnitude smaller than the corpus. Measured A/B at sf0.1:
+    # jaccard 3.75 -> 2.79 s, ngram 2.67 -> 2.18 s (with the ws
+    # checkpoint below); results row-identical.
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # explicit broadcast: the candidate-id list is the small side by the
-    # documented contract, but Catalyst's size estimate for a
-    # union+distinct over the persisted candidates is far too large, so
-    # the planner chose a SortMergeJoin LeftSemi — shuffling AND sorting
-    # the full word table to prune it. Broadcasting reaches the word scan
-    # as a broadcast semi-join: zero shuffle of the big side.
-    ws = (
-        words.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.expr(f"collect_set({word_col}) AS wset"))
-        .withColumn("sz", F.expr("size(wset)"))
-        .persist()
+    # same eager-checkpoint rationale as candidates: ws is read by BOTH
+    # sides of the pair join below; checkpointing makes that self-join's
+    # analysis and AQE replanning shallow. The broadcast dependency
+    # (cand_ids <- candidates) already serialized these stages under the
+    # lazy persist, so eagerness costs no parallelism.
+    ws = _candidate_word_sets(words, cand_ids, id_col, word_col).localCheckpoint(
+        eager=True
     )
     a = ws.selectExpr(f"{id_col} AS id_a", "wset AS ws_a", "sz AS sz_a")
     b = ws.selectExpr(f"{id_col} AS id_b", "wset AS ws_b", "sz AS sz_b")

@@ -117,3 +117,63 @@ def test_cap_bucket_size_probe_limit_fallback_matches(spark):
     for f, l in zip(fast, lazy):
         assert f.columns == l.columns
         assert sorted(map(tuple, f.collect())) == sorted(map(tuple, l.collect()))
+
+
+def test_jaccard_verify_checkpoint_matches_persist_reference(spark):
+    """The eager-localCheckpoint form of jaccard_verified_pairs (plan
+    truncation for the three verification joins) must be row-identical to
+    the pre-r6 persist formulation on data with real near-dup pairs."""
+    from exaloglog_paper_spark.ops.dedup import jaccard_verified_pairs
+
+    rows = []
+    for d in range(30):
+        base = [f"w{(d // 3) * 10 + k}" for k in range(10)]
+        if d % 3 == 1:
+            base[-1] = f"x{d}"  # near-dup of its group head (J = 9/11)
+        if d % 3 == 2:
+            base = [f"y{d}_{k}" for k in range(10)]  # unrelated
+        rows += [(d, w) for w in base]
+    words = spark.createDataFrame(rows, "doc_id long, word string")
+    cands = spark.createDataFrame(
+        [(a, b) for a in range(30) for b in range(a + 1, 30)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(
+        map(tuple, jaccard_verified_pairs(words, cands, threshold=0.6).collect())
+    )
+
+    # pre-r6 reference: identical expressions, persist() boundaries
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    ws = (
+        words.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.expr("collect_set(word) AS wset"))
+        .withColumn("sz", F.expr("size(wset)"))
+        .persist()
+    )
+    a = ws.selectExpr("doc_id AS id_a", "wset AS ws_a", "sz AS sz_a")
+    b = ws.selectExpr("doc_id AS id_b", "wset AS ws_b", "sz AS sz_b")
+    joined = cands.persist().join(a, "id_a").join(b, "id_b").filter(
+        (F.col("sz_a") >= 0.6 * F.col("sz_b"))
+        & (F.col("sz_b") >= 0.6 * F.col("sz_a"))
+    )
+    ref = sorted(
+        map(
+            tuple,
+            joined.withColumn("inter", F.expr("size(array_intersect(ws_a, ws_b))"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.6)
+            .select("id_a", "id_b", "jaccard")
+            .collect(),
+        )
+    )
+    assert fast == ref and len(ref) > 0
