@@ -261,12 +261,23 @@ def lsh_candidate_pairs(
     degenerate bucket is the one quadratic failure mode of banded LSH at
     10^12 docs, while the star keeps its connected component intact.
     """
-    # persist the band table: the self-join would otherwise recompute the
-    # full word-explode + md5 signature build for BOTH sides (no
-    # ReusedExchange fires across the a/b aliases). ~50 bytes x 4 bands/doc,
-    # so this is the production shape at 10^12 docs too (signatures are
-    # checkpointed, candidates joined from the checkpoint).
-    exploded = band_table(signatures, id_col, num_hashes, band_size).persist()
+    # LAZY localCheckpoint the band table: the self-join would otherwise
+    # recompute the full word-explode + md5 signature build for BOTH sides
+    # (no ReusedExchange fires across the a/b aliases). Like the persist it
+    # replaces (r6), materialization folds into the FIRST consumer job (the
+    # cap probe's take()) — one pass over the build — but the logical plan
+    # truncates to a Scan ExistingRDD, so the probe/self-join/distinct
+    # analyses and every AQE replan walk a shallow tree instead of the
+    # signature subplan (~95 ms per deep-join analysis; eager checkpointing
+    # here measured WORSE — it adds a second pass over the build — and
+    # Dataset.checkpoint preserves the origin plan's stats, so the
+    # self-join keeps its broadcast strategy). ~50 bytes x 4 bands/doc, so
+    # this is the production shape at 10^12 docs too (signatures are
+    # checkpointed, candidates joined from the checkpoint); guide §5's
+    # fault-tolerance condition applies as in jaccard_verified_pairs.
+    exploded = band_table(signatures, id_col, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
     exploded, star = _cap_bucket_size(
         exploded, max_bucket_size, ("band", "bucket"), id_col
     )
@@ -453,14 +464,15 @@ def simhash_near_pairs(
     instead (see _cap_bucket_size); the hamming filter applies to both."""
     band_arr = ", ".join(f"struct({i} AS band, chunk_{i} AS chunk)" for i in range(4))
     chunk_cols = [f"chunk_{i}" for i in range(4)]
-    # persist: the a/b self-join would recompute the 64-aggregate signature
-    # build twice otherwise (same rationale as lsh_candidate_pairs)
+    # lazy localCheckpoint: the a/b self-join would recompute the
+    # 64-aggregate signature build twice otherwise (same rationale and
+    # same single-pass + plan-truncation trade as lsh_candidate_pairs)
     ex = (
         signatures.selectExpr(
             id_col, *chunk_cols, f"explode(array({band_arr})) AS bb"
         )
         .selectExpr(id_col, *chunk_cols, "bb.band AS band", "bb.chunk AS chunk")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     ex, star = _cap_bucket_size(
         ex, max_bucket_size, ("band", "chunk"), id_col, chunk_cols

@@ -90,12 +90,17 @@ def test_token_scan_prunes_to_used_columns(spark):
     assert "doc_id" not in scan and "n_tok" not in scan
 
 
-@pytest.mark.parametrize("query_name", ["minhash_lsh_candidates", "dedup_exact_summary"])
-def test_dedup_plans_have_partial_aggregation(spark, query_name):
+def test_dedup_plans_have_partial_aggregation(spark):
     """Map-side partial aggregation must precede the shuffle for the
-    dedup/minhash groupBys (partial_min / partial_count in the plan)."""
-    df = getattr(Q, query_name)(spark, SF_DIR)
-    plan = _plan(df)
+    dedup/minhash groupBys (partial_min / partial_count in the plan).
+    r6: the band table is a lazy localCheckpoint boundary, which hides the
+    signature build from the final explain — so the minhash pin targets
+    the signature subplan the pipeline routes through."""
+    from exaloglog_paper_spark.ops.dedup import minhash_signatures
+
+    plan = _plan(minhash_signatures(Q._words(spark, SF_DIR)))
+    assert "partial_" in plan, plan
+    plan = _plan(Q.dedup_exact_summary(spark, SF_DIR))
     assert "partial_" in plan, plan
 
 
