@@ -689,8 +689,15 @@ def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     from .dedup import jaccard_verified_pairs, lsh_candidate_pairs, minhash_signatures
 
     # the shingle explosion is the expensive per-row stage and feeds BOTH
-    # branches (signature build + word-set verification) — persist it once
-    shingles = _shingles(spark, sf_dir, n=3).persist()
+    # branches (signature build + word-set verification) — materialize it
+    # once. Lazy localCheckpoint instead of persist (r6): same one-pass
+    # materialization folded into the first consumer job, but the reread
+    # avoids the InMemoryRelation's columnar compress/decompress on these
+    # wide string rows and the downstream plans truncate — interleaved A/B
+    # 2.10 -> 1.61 s min (2.53 -> 1.73 med) for the full ngram query at
+    # sf0.1, rows identical (same fault-tolerance trade as the band
+    # tables, ops/dedup.py).
+    shingles = _shingles(spark, sf_dir, n=3).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(minhash_signatures(shingles))
     return jaccard_verified_pairs(shingles, cands, threshold=0.8)
 
